@@ -1,0 +1,254 @@
+"""Residual 2D/3D UNet in flax — MONAI-UNet-equivalent topology, TPU-first.
+
+Architecture parity with the UNet the reference wraps
+(reference: src/segmantic/seg/monai_unet.py:105-124): per-level stride-2
+conv encoder, transposed-conv decoder with skip concatenation, residual
+units (``num_res_units`` sub-convolutions + projection shortcut), norm +
+PReLU activation, rank-generic (2D/3D) convolutions, configurable
+``channels``/``strides``/``dropout``/``act``.
+
+TPU-first choices: channel-LAST layout (N, *spatial, C) so XLA maps convs
+straight onto the MXU; bf16-friendly (params live in f32, compute dtype is
+configurable); no data-dependent control flow — the whole forward is one
+traced graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a single learnable slope (torch default
+    ``num_parameters=1, init=0.25`` — what MONAI's PRELU resolves to)."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", lambda key: jnp.full((1,), self.init, jnp.float32))
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+def _activation(name: str) -> Callable:
+    name = name.upper()
+    if name == "PRELU":
+        return PReLU()
+    if name == "RELU":
+        return nn.relu
+    if name == "LEAKYRELU":
+        return lambda x: nn.leaky_relu(x, 0.01)
+    if name == "GELU":
+        return nn.gelu
+    if name == "TANH":
+        return nn.tanh
+    raise ValueError(f"unsupported activation {name!r}")
+
+
+class Norm(nn.Module):
+    """BATCH / INSTANCE / GROUP normalization over channel-last inputs."""
+
+    kind: str = "BATCH"
+    momentum: float = 0.9  # = 1 - torch momentum 0.1
+
+    @nn.compact
+    def __call__(self, x, training: bool):
+        kind = self.kind.upper()
+        if kind == "BATCH":
+            return nn.BatchNorm(
+                use_running_average=not training,
+                momentum=self.momentum,
+                epsilon=1e-5,
+                dtype=x.dtype,
+            )(x)
+        if kind == "INSTANCE":
+            return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5, dtype=x.dtype)(x)
+        if kind == "GROUP":
+            groups = min(8, x.shape[-1])
+            return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=x.dtype)(x)
+        if kind == "NONE":
+            return x
+        raise ValueError(f"unsupported norm {self.kind!r}")
+
+
+class ConvUnit(nn.Module):
+    """conv (optionally strided / transposed) → norm → dropout → act."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    transposed: bool = False
+    conv_only: bool = False
+    norm: str = "BATCH"
+    act: str = "PRELU"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        nd = x.ndim - 2
+        kshape = (self.kernel_size,) * nd
+        sshape = (self.strides,) * nd
+        if self.transposed:
+            x = nn.ConvTranspose(
+                self.features, kshape, strides=sshape, padding="SAME", dtype=x.dtype
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features, kshape, strides=sshape, padding="SAME", dtype=x.dtype
+            )(x)
+        if self.conv_only:
+            return x
+        x = Norm(kind=self.norm)(x, training)
+        if self.dropout > 0:
+            x = nn.Dropout(rate=self.dropout, deterministic=not training)(x)
+        return _activation(self.act)(x)
+
+
+class ResidualUnit(nn.Module):
+    """``subunits`` conv units with a (projected) residual shortcut.
+
+    First subunit carries the stride; the shortcut is a kernel-size
+    (or 1x1 when unstrided) projection whenever shape/channels change.
+    """
+
+    features: int
+    strides: int = 1
+    kernel_size: int = 3
+    subunits: int = 2
+    last_conv_only: bool = False
+    norm: str = "BATCH"
+    act: str = "PRELU"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        nd = x.ndim - 2
+        residual = x
+        y = x
+        subunits = max(1, self.subunits)
+        for i in range(subunits):
+            y = ConvUnit(
+                self.features,
+                kernel_size=self.kernel_size,
+                strides=self.strides if i == 0 else 1,
+                conv_only=self.last_conv_only and i == subunits - 1,
+                norm=self.norm,
+                act=self.act,
+                dropout=self.dropout,
+            )(y, training)
+        if self.strides != 1 or x.shape[-1] != self.features:
+            rk = self.kernel_size if self.strides != 1 else 1
+            residual = nn.Conv(
+                self.features,
+                (rk,) * nd,
+                strides=(self.strides,) * nd,
+                padding="SAME",
+                dtype=x.dtype,
+            )(residual)
+        return y + residual
+
+
+class UNet(nn.Module):
+    """Parametric residual UNet (2D/3D) with skip-concatenation.
+
+    Matches the reference defaults: ``channels=(16,32,64,128,256)``,
+    ``strides=(2,2,2,2)``, ``num_res_units=2``, batch norm, PReLU
+    (reference: src/segmantic/seg/monai_unet.py:114-124). Input/output are
+    channel-last: (N, *spatial, C).
+    """
+
+    spatial_dims: int = 3
+    in_channels: int = 1
+    out_channels: int = 2
+    channels: Sequence[int] = (16, 32, 64, 128, 256)
+    strides: Sequence[int] = (2, 2, 2, 2)
+    num_res_units: int = 2
+    norm: str = "BATCH"
+    act: str = "PRELU"
+    dropout: float = 0.0
+    kernel_size: int = 3
+    up_kernel_size: int = 3
+
+    def _down(self, features: int, strides: int, is_top: bool):
+        if self.num_res_units > 0:
+            return ResidualUnit(
+                features,
+                strides=strides,
+                kernel_size=self.kernel_size,
+                subunits=self.num_res_units,
+                norm=self.norm,
+                act=self.act,
+                dropout=self.dropout,
+            )
+        return ConvUnit(
+            features,
+            kernel_size=self.kernel_size,
+            strides=strides,
+            norm=self.norm,
+            act=self.act,
+            dropout=self.dropout,
+        )
+
+    def _up(self, features: int, strides: int, is_top: bool):
+        units = [
+            ConvUnit(
+                features,
+                kernel_size=self.up_kernel_size,
+                strides=strides,
+                transposed=True,
+                conv_only=is_top and self.num_res_units == 0,
+                norm=self.norm,
+                act=self.act,
+                dropout=self.dropout,
+            )
+        ]
+        if self.num_res_units > 0:
+            units.append(
+                ResidualUnit(
+                    features,
+                    strides=1,
+                    kernel_size=self.kernel_size,
+                    subunits=1,
+                    last_conv_only=is_top,
+                    norm=self.norm,
+                    act=self.act,
+                    dropout=self.dropout,
+                )
+            )
+        return units
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if x.ndim != self.spatial_dims + 2:
+            raise ValueError(
+                f"expected (N, *spatial[{self.spatial_dims}], C) input, got {x.shape}"
+            )
+        channels = list(self.channels)
+        strides = list(self.strides)
+        if len(channels) < 2:
+            raise ValueError("channels must have at least 2 entries")
+        if len(strides) != len(channels) - 1:
+            raise ValueError("len(strides) must be len(channels) - 1")
+
+        # encoder
+        skips = []
+        y = x
+        for level, (c, s) in enumerate(zip(channels[:-1], strides)):
+            y = self._down(c, s, is_top=level == 0)(y, training)
+            skips.append(y)
+
+        # bottom (stride 1)
+        y = self._down(channels[-1], 1, is_top=False)(y, training)
+
+        # decoder: deepest level outputs channels[level-1] except the top,
+        # which maps straight to out_channels
+        for level in reversed(range(len(strides))):
+            y = jnp.concatenate([skips[level], y], axis=-1)
+            out_feats = self.out_channels if level == 0 else channels[level - 1]
+            for unit in self._up(out_feats, strides[level], is_top=level == 0):
+                y = unit(y, training)
+        return y

@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Make the repo root importable without installation.
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Persistent XLA compilation cache: repeated test runs skip recompiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
