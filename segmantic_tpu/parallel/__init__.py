@@ -1,0 +1,15 @@
+from .mesh import (
+    batch_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "initialize_distributed",
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+]

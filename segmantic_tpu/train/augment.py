@@ -1,0 +1,191 @@
+"""Fused on-device batched augmentation (the training hot path).
+
+TPU-native redesign of the reference's per-volume host augmentation chain
+(reference: src/segmantic/seg/monai_unet.py:178-219): instead of rotating /
+zooming whole volumes on the host and then cropping, the patch sampler
+crops margin patches and this module applies — inside one jit, vmapped over
+the batch — a *single fused affine gather* (rotation ∘ zoom ∘ center-crop)
+plus flips and the intensity zoo (gamma contrast, histogram shift,
+polynomial bias field, Gibbs ringing, k-space spikes). Each sample draws
+independent params from a ``jax.random`` key, so augmentation is
+deterministic given the step key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resample import resample_affine_jax
+from ..transforms import intensity_ops as iops
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Static augmentation configuration (hashable → one jit compile)."""
+
+    spatial: bool = False
+    intensity: bool = False
+    flip_prob: float = 0.2
+    rotate_prob: float = 0.2
+    rotate_range: float = 0.4
+    zoom_prob: float = 0.2
+    zoom_range: Tuple[float, float] = (0.8, 1.3)
+    contrast_prob: float = 0.2
+    contrast_gamma: Tuple[float, float] = (0.5, 4.5)
+    hist_shift_prob: float = 0.2
+    hist_control_points: int = 10
+    bias_prob: float = 0.2
+    bias_degree: int = 3
+    bias_coeff_range: Tuple[float, float] = (0.0, 0.1)
+    gibbs_prob: float = 0.2
+    gibbs_alpha: Tuple[float, float] = (0.0, 1.0)
+    spike_prob: float = 0.2
+    spike_intensity: Tuple[float, float] = (0.95, 1.10)
+
+
+def _rotation_matrix(nd: int, angles: jax.Array) -> jax.Array:
+    """Compose per-axis rotations into one nd x nd matrix (traced angles)."""
+    if nd == 2:
+        c, s = jnp.cos(angles[0]), jnp.sin(angles[0])
+        return jnp.array([[c, -s], [s, c]])
+    rot = jnp.eye(3)
+    for axis in range(3):
+        a, b = [d for d in range(3) if d != axis]
+        c, s = jnp.cos(angles[axis]), jnp.sin(angles[axis])
+        m = jnp.eye(3)
+        m = m.at[a, a].set(c).at[a, b].set(-s).at[b, a].set(s).at[b, b].set(c)
+        rot = m @ rot
+    return rot
+
+
+def _spatial_matrix(
+    key: jax.Array, cfg: AugmentConfig, nd: int, in_shape, out_shape
+) -> jax.Array:
+    """(nd, nd+1) map from output (patch) index to input (margin patch) index:
+    center the patch, then apply inverse rotation and inverse zoom."""
+    k_rot_p, k_rot, k_zoom_p, k_zoom = jax.random.split(key, 4)
+
+    angles = jax.random.uniform(
+        k_rot, (3 if nd == 3 else 1,), minval=-cfg.rotate_range, maxval=cfg.rotate_range
+    )
+    do_rot = (
+        jax.random.uniform(k_rot_p, (3 if nd == 3 else 1,)) < cfg.rotate_prob
+    )
+    angles = jnp.where(do_rot, angles, 0.0)
+    rot = _rotation_matrix(nd, angles)
+
+    zoom = jax.random.uniform(
+        k_zoom, (), minval=cfg.zoom_range[0], maxval=cfg.zoom_range[1]
+    )
+    zoom = jnp.where(jax.random.uniform(k_zoom_p, ()) < cfg.zoom_prob, zoom, 1.0)
+
+    in_center = (jnp.asarray(in_shape, jnp.float32) - 1) / 2
+    out_center = (jnp.asarray(out_shape, jnp.float32) - 1) / 2
+    lin = rot.T / zoom  # inverse map: out voxel -> in voxel
+    offset = in_center - lin @ out_center
+    return jnp.concatenate([lin, offset[:, None]], axis=1)
+
+
+def _augment_one(
+    image: jax.Array,  # (C, *margin_shape) channel-first for the gather
+    label: jax.Array,  # (1, *margin_shape)
+    key: jax.Array,
+    cfg: AugmentConfig,
+    out_shape: Tuple[int, ...],
+) -> Tuple[jax.Array, jax.Array]:
+    nd = image.ndim - 1
+    keys = jax.random.split(key, 8)
+
+    if cfg.spatial:
+        m = _spatial_matrix(keys[0], cfg, nd, image.shape[1:], out_shape)
+        image = resample_affine_jax(image, m, out_shape, order=1)
+        label = resample_affine_jax(label, m, out_shape, order=0)
+    else:
+        # center-crop margin patch to the output size
+        starts = [
+            (image.shape[1 + a] - out_shape[a]) // 2 for a in range(nd)
+        ]
+        sl = (slice(None),) + tuple(
+            slice(s, s + out_shape[a]) for a, s in enumerate(starts)
+        )
+        image = image[sl]
+        label = label[sl]
+
+    if cfg.intensity:
+        k_c, k_h, k_b, k_g, k_s = jax.random.split(keys[1], 5)
+
+        def maybe(k, prob, fn, x):
+            kp, kv = jax.random.split(k)
+            return jnp.where(jax.random.uniform(kp, ()) < prob, fn(kv, x), x)
+
+        def contrast(kv, x):
+            gamma = jax.random.uniform(
+                kv, (), minval=cfg.contrast_gamma[0], maxval=cfg.contrast_gamma[1]
+            )
+            return iops.adjust_contrast(x, gamma)
+
+        def hist(kv, x):
+            src, dst = iops.random_control_points(
+                kv, cfg.hist_control_points, jnp.min(x), jnp.max(x)
+            )
+            return iops.histogram_shift(x, src, dst)
+
+        def bias(kv, x):
+            n = iops.num_bias_coeff(nd, cfg.bias_degree)
+            coeff = jax.random.uniform(
+                kv, (n,), minval=cfg.bias_coeff_range[0], maxval=cfg.bias_coeff_range[1]
+            )
+            return iops.bias_field(x, coeff, cfg.bias_degree)
+
+        def gibbs(kv, x):
+            alpha = jax.random.uniform(
+                kv, (), minval=cfg.gibbs_alpha[0], maxval=cfg.gibbs_alpha[1]
+            )
+            return iops.gibbs_noise(x, alpha)
+
+        def spike(kv, x):
+            k1, k2 = jax.random.split(kv)
+            loc = jax.random.uniform(k1, (nd,), minval=0.55, maxval=0.95)
+            inten = jax.random.uniform(
+                k2, (), minval=cfg.spike_intensity[0], maxval=cfg.spike_intensity[1]
+            )
+            return iops.kspace_spike(x, loc, inten)
+
+        image = maybe(k_c, cfg.contrast_prob, contrast, image)
+        image = maybe(k_h, cfg.hist_shift_prob, hist, image)
+        image = maybe(k_b, cfg.bias_prob, bias, image)
+        image = maybe(k_g, cfg.gibbs_prob, gibbs, image)
+        image = maybe(k_s, cfg.spike_prob, spike, image)
+
+    # per-axis random flips (always on, prob cfg.flip_prob each)
+    do_flip = jax.random.uniform(keys[2], (nd,)) < cfg.flip_prob
+    image = iops.flip(image, do_flip)
+    label = iops.flip(label, do_flip)
+    return image, label
+
+
+@partial(jax.jit, static_argnames=("cfg", "out_shape"))
+def augment_batch(
+    images: jax.Array,  # (B, *margin_shape, C) channel-last
+    labels: jax.Array,  # (B, *margin_shape) int
+    key: jax.Array,
+    cfg: AugmentConfig,
+    out_shape: Tuple[int, ...],
+) -> Tuple[jax.Array, jax.Array]:
+    """Vmapped fused augmentation: margin patches in, training patches out.
+
+    Returns (B, *out_shape, C) images and (B, *out_shape) labels.
+    """
+    batch = images.shape[0]
+    keys = jax.random.split(key, batch)
+    imgs_cf = jnp.moveaxis(images, -1, 1)  # (B, C, *spatial)
+    lbls_cf = labels[:, None].astype(jnp.int32)
+
+    aug = jax.vmap(lambda i, l, k: _augment_one(i, l, k, cfg, tuple(out_shape)))
+    out_img, out_lbl = aug(imgs_cf, lbls_cf, keys)
+    return jnp.moveaxis(out_img, 1, -1), out_lbl[:, 0]

@@ -8,12 +8,18 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may point at a TPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's sitecustomize registers a TPU backend and overrides
+# jax_platforms directly — force CPU via jax.config before any device use.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Make the repo root importable without installation.
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))

@@ -1,0 +1,73 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmantic_tpu.infer.sliding_window import (
+    SlidingWindowInferer,
+    gaussian_importance,
+    sliding_window_inference,
+    window_starts,
+)
+
+
+def test_window_starts_cover_volume():
+    starts = window_starts((100, 80), (32, 32), overlap=0.25)
+    ends0 = sorted({s[0] + 32 for s in starts})
+    ends1 = sorted({s[1] + 32 for s in starts})
+    assert ends0[-1] == 100
+    assert ends1[-1] == 80
+    assert min(s[0] for s in starts) == 0
+    # stride 24 along both axes
+    xs = sorted({s[0] for s in starts})
+    assert xs == [0, 24, 48, 68]
+
+
+def test_window_starts_roi_bigger_than_volume():
+    assert window_starts((10, 10), (32, 32), 0.25) == [(0, 0)]
+
+
+def test_gaussian_importance_peak_center():
+    w = gaussian_importance((9, 9))
+    assert w.argmax() == 9 * 4 + 4
+    assert w.min() > 0
+
+
+@pytest.mark.parametrize("mode", ["gaussian", "constant"])
+def test_identity_predictor_blend(mode):
+    # predictor that returns the window content itself: blending must
+    # reconstruct the volume exactly regardless of overlap
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((40, 33, 1)).astype(np.float32)
+
+    def predictor(windows):
+        return windows
+
+    out = sliding_window_inference(
+        vol, (16, 16), 3, predictor, overlap=0.25, mode=mode
+    )
+    np.testing.assert_allclose(np.asarray(out)[..., 0], vol[..., 0], atol=1e-3)
+
+
+def test_small_volume_padding():
+    vol = np.ones((5, 6, 1), np.float32)
+
+    def predictor(windows):
+        return jnp.concatenate([windows, windows * 2], axis=-1)
+
+    out = sliding_window_inference(vol, (8, 8), 2, predictor)
+    assert out.shape == (5, 6, 2)
+    np.testing.assert_allclose(np.asarray(out)[..., 0], 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out)[..., 1], 2.0, atol=1e-4)
+
+
+def test_3d_inference_shape():
+    vol = np.zeros((20, 18, 17, 2), np.float32)
+
+    def predictor(windows):
+        return windows[..., :1] * 0 + 1.0
+
+    inferer = SlidingWindowInferer(roi_size=(8, 8, 8), sw_batch_size=4, overlap=0.5)
+    out = inferer(vol, predictor)
+    assert out.shape == (20, 18, 17, 1)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-4)

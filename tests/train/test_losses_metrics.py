@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmantic_tpu.metrics.distance import (
+    hausdorff_pointwise_distance,
+    hausdorff_surface_distance,
+)
+from segmantic_tpu.metrics.overlap import (
+    confusion_matrix,
+    confusion_matrix_metrics,
+    dice_from_confusion,
+    dice_metric,
+)
+from segmantic_tpu.train.losses import dice_ce_loss, dice_loss
+
+
+def test_dice_loss_perfect_prediction():
+    labels = jnp.array([[[0, 1], [1, 0]]])  # (1, 2, 2)
+    logits = jax.nn.one_hot(labels, 2) * 20.0  # near-certain
+    loss = dice_loss(logits, labels)
+    assert float(loss) < 1e-3
+
+
+def test_dice_loss_worst_prediction():
+    labels = jnp.zeros((1, 2, 2), jnp.int32)
+    logits = jnp.stack([jnp.full((1, 2, 2), -20.0), jnp.full((1, 2, 2), 20.0)], axis=-1)
+    loss = dice_loss(logits, labels)
+    assert float(loss) > 0.9
+
+
+def test_dice_loss_gradient_finite():
+    labels = jnp.array([[[0, 1], [1, 2]]])
+    logits = jnp.zeros((1, 2, 2, 3))
+    g = jax.grad(lambda l: dice_loss(l, labels))(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(dice_ce_loss(logits, labels)) > 0
+
+
+def test_confusion_matrix_identity_diag():
+    y = np.array([0, 0, 1, 1, 1, 2])
+    cm = confusion_matrix(3, y, y)
+    np.testing.assert_array_equal(np.diag(cm), np.bincount(y))
+    assert cm.sum() == len(y)
+    np.testing.assert_array_equal(np.diag(np.asarray(cm), 1), 0)
+
+
+def test_confusion_matrix_jax_np_agree():
+    rng = np.random.default_rng(0)
+    t = rng.integers(0, 4, 1000)
+    p = rng.integers(0, 4, 1000)
+    np.testing.assert_array_equal(
+        confusion_matrix(4, t, p), np.asarray(confusion_matrix(4, jnp.asarray(t), jnp.asarray(p)))
+    )
+
+
+def test_dice_metric_and_cm_metrics():
+    t = np.zeros((8, 8), np.int64)
+    t[2:6, 2:6] = 1
+    p = np.zeros((8, 8), np.int64)
+    p[2:6, 2:5] = 1
+    d = float(dice_metric(jnp.asarray(p), jnp.asarray(t), 2))
+    # dice = 2*12/(12+16)
+    assert d == pytest.approx(2 * 12 / 28, abs=1e-5)
+    m = confusion_matrix_metrics(confusion_matrix(2, t, p))
+    assert m["sensitivity"][1] == pytest.approx(12 / 16)
+    assert m["precision"][1] == pytest.approx(1.0)
+    np.testing.assert_allclose(
+        dice_from_confusion(confusion_matrix(2, t, p))[1], 2 * 12 / 28
+    )
+
+
+def test_hausdorff_self_distance_zero():
+    mask = np.zeros((10, 10), np.uint8)
+    mask[3:6, 3:6] = 1
+    r = hausdorff_surface_distance(mask, mask)
+    assert all(v == 0.0 for v in r.values())
+    r = hausdorff_pointwise_distance(mask, mask)
+    assert all(v == 0.0 for v in r.values())
+
+
+def test_hausdorff_grows_with_dilation():
+    a = np.zeros((10, 10), np.uint8)
+    a[3:6, 3:6] = 1
+    b = np.zeros((10, 10), np.uint8)
+    b[1:8, 2:7] = 1
+    r = hausdorff_surface_distance(a, b)
+    assert r["max"] >= 2.0
+    assert all(v > 0.0 for v in r.values())
+
+
+def test_hausdorff_respects_spacing():
+    a = np.zeros((10, 10), np.uint8)
+    a[4, 4] = 1
+    b = np.zeros((10, 10), np.uint8)
+    b[4, 6] = 1
+    r1 = hausdorff_surface_distance(a, b, spacing=(1.0, 1.0))
+    r2 = hausdorff_surface_distance(a, b, spacing=(1.0, 2.5))
+    assert r1["max"] == pytest.approx(2.0)
+    assert r2["max"] == pytest.approx(5.0)
