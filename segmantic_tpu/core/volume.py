@@ -35,11 +35,13 @@ def _as_affine(affine: Optional[np.ndarray]) -> np.ndarray:
 
 def affine_from_spacing_origin(
     spacing: Tuple[float, ...],
-    origin: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    origin: Optional[Tuple[float, ...]] = None,
     direction: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Compose an affine from spacing / origin / direction (ITK-style triple)."""
     ndim = len(spacing)
+    if origin is None:
+        origin = (0.0,) * ndim
     aff = np.eye(4, dtype=np.float64)
     rot = np.eye(ndim) if direction is None else np.asarray(direction, dtype=np.float64)
     aff[:ndim, :ndim] = rot * np.asarray(spacing, dtype=np.float64)[None, :]
