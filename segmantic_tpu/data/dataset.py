@@ -206,10 +206,15 @@ class PairedDataSet:
             train = create_data_dict(ds["training"], json_path.parent, train)
             val = create_data_dict(ds["validation"], json_path.parent, val)
             for f in ds.get("test", []):
-                p = Path(f)
-                if not p.is_absolute():
-                    p = json_path.parent / p
-                test.append({"image": p})
+                # entries may be plain image paths or {"image": ..., "label": ...}
+                entry = {"image": f} if isinstance(f, (str, Path)) else dict(f)
+                resolved: DataDict = {}
+                for k, v in entry.items():
+                    p = Path(v)
+                    if not p.is_absolute():
+                        p = json_path.parent / p
+                    resolved[k] = p
+                test.append(resolved)
 
         combined = PairedDataSet()
         combined._train_files = train

@@ -1,0 +1,187 @@
+"""Batch inference entry: preprocess → sliding window → invert → save + metrics.
+
+Behavioral parity with the reference's ``predict``
+(reference: src/segmantic/seg/monai_unet.py:551-726): same signature keys,
+sliding-window with roi = the model's training patch size and sw_batch 4,
+inversion of the deterministic preprocessing (linear on logits, then
+argmax — reference inverts `pred` with nearest_interp=False before
+AsDiscreted), flat ``<stem>.nii.gz`` outputs, per-case Dice +
+sensitivity/specificity/precision/accuracy, per-case confusion-matrix PNG,
+mean-dice txt dump and a totals table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..metrics.overlap import confusion_matrix, confusion_matrix_metrics, dice_from_confusion
+from ..transforms import post as TP
+from ..transforms.base import Compose
+from ..train.trainer import SegmentationModel, default_preprocessing, make_val_forward
+from .sliding_window import sliding_window_inference
+
+
+@dataclasses.dataclass
+class CaseResult:
+    image: Path
+    saved_to: Optional[Path]
+    dice: Optional[float] = None
+    per_class_dice: Optional[np.ndarray] = None
+    metrics: Optional[Dict[str, np.ndarray]] = None
+
+
+def predict(
+    model_file: Path,
+    test_images: List[Path],
+    test_labels: Optional[List[Path]] = None,
+    output_dir: Optional[Path] = None,
+    tissue_dict: Optional[Dict[str, int]] = None,
+    channels: Tuple[int, ...] = (16, 32, 64, 128, 256),
+    strides: Tuple[int, ...] = (2, 2, 2, 2),
+    dropout: float = 0.0,
+    spacing: Sequence[float] = (),
+    gpu_ids: Sequence[int] = (),
+    sw_batch_size: int = 4,
+    overlap: float = 0.25,
+    save_confusion_plots: bool = True,
+) -> List[CaseResult]:
+    """Run inference on test images; returns per-case results.
+
+    ``channels``/``strides``/``dropout``/``gpu_ids`` are accepted for config
+    compatibility — hyperparameters actually come from the checkpoint.
+    """
+    model = SegmentationModel.load(Path(model_file))
+    num_classes = model.num_classes
+    roi = model.spatial_size
+    val_forward = make_val_forward(model.module)
+    variables = model.variables
+
+    have_labels = test_labels is not None and len(test_labels) == len(test_images)
+    keys = ["image", "label"] if have_labels else ["image"]
+    pre = default_preprocessing(keys, spacing)
+
+    if output_dir:
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+
+    tissue_names = [str(i) for i in range(num_classes)]
+    if tissue_dict:
+        for name, idx in tissue_dict.items():
+            if 0 <= idx < num_classes:
+                tissue_names[idx] = name
+
+    def predictor(windows):
+        return val_forward(variables, windows)
+
+    results: List[CaseResult] = []
+    all_case_dices: List[float] = []
+    total_cm = np.zeros((num_classes, num_classes), np.int64)
+
+    for case_i, image_path in enumerate(test_images):
+        sample = {"image": Path(image_path)}
+        if have_labels:
+            sample["label"] = Path(test_labels[case_i])
+        sample = pre(sample)
+
+        image = np.moveaxis(sample["image"].numpy(), 0, -1)
+        logits = sliding_window_inference(
+            image, roi, sw_batch_size, predictor, overlap=overlap, mode="gaussian"
+        )
+        logits = np.moveaxis(np.asarray(logits), -1, 0)  # (C, *spatial)
+
+        # invert on logits (linear), then argmax — reference order
+        pred_vol = sample["image"].with_data(logits.astype(np.float32))
+        pred_vol.applied_ops = []
+        work = dict(sample)
+        work["pred"] = pred_vol
+        work = TP.Invertd(keys="pred", ref_key="image", nearest=False)(work)
+        work = TP.AsDiscreted(keys="pred", argmax=True)(work)
+        pred = work["pred"]
+
+        saved_to = None
+        if output_dir:
+            TP.SaveImaged(
+                keys="pred", output_dir=output_dir, output_postfix="", ref_key="image"
+            )(work)
+            saved_to = Path(pred.meta["saved_to"])
+
+        result = CaseResult(image=Path(image_path), saved_to=saved_to)
+
+        if have_labels:
+            # compare in ORIGINAL grid: load raw label (uninverted reference)
+            from ..io.nifti import read_volume
+
+            true_lbl = read_volume(Path(test_labels[case_i])).numpy()[0].astype(np.int64)
+            pred_lbl = pred.numpy()[0].astype(np.int64)
+            cm = confusion_matrix(num_classes, true_lbl, pred_lbl)
+            total_cm += np.asarray(cm)
+            per_class = dice_from_confusion(cm)
+            present = np.zeros(num_classes, bool)
+            present[np.unique(true_lbl)] = True
+            present[np.unique(pred_lbl)] = True
+            present[0] = False
+            case_dice = float(per_class[present].mean()) if present.any() else 0.0
+            metrics = confusion_matrix_metrics(cm)
+
+            result.dice = case_dice
+            result.per_class_dice = per_class
+            result.metrics = metrics
+            all_case_dices.append(case_dice)
+
+            print(f"case {image_path}: mean_dice={case_dice:.4f}")
+            _print_table(
+                ["tissue"] + ["dice", "sensitivity", "precision"],
+                [
+                    [tissue_names[c]]
+                    + [
+                        f"{per_class[c]:.4f}",
+                        f"{metrics['sensitivity'][c]:.4f}",
+                        f"{metrics['precision'][c]:.4f}",
+                    ]
+                    for c in range(1, num_classes)
+                ],
+            )
+
+            if output_dir and save_confusion_plots:
+                from ..viz.plots import plot_confusion_matrix
+
+                stem = Path(image_path).name.replace(".nii.gz", "").replace(".nii", "")
+                plot_confusion_matrix(
+                    np.asarray(cm),
+                    tissue_names,
+                    output_dir / f"{stem}_confusion.png",
+                    title=f"{stem}",
+                )
+        results.append(result)
+
+    if have_labels:
+        mean_dice = float(np.mean(all_case_dices)) if all_case_dices else 0.0
+        print(f"mean dice over {len(all_case_dices)} cases: {mean_dice:.4f}")
+        if output_dir:
+            (Path(output_dir) / "mean_dice.txt").write_text(
+                "\n".join(f"{d:.6f}" for d in all_case_dices)
+                + f"\nmean\t{mean_dice:.6f}\n"
+            )
+            totals = confusion_matrix_metrics(total_cm)
+            _print_table(
+                ["tissue", "dice", "sensitivity", "specificity", "precision", "accuracy"],
+                [
+                    [tissue_names[c]]
+                    + [f"{totals[m][c]:.4f}" for m in ("dice", "sensitivity", "specificity", "precision", "accuracy")]
+                    for c in range(1, num_classes)
+                ],
+            )
+    return results
+
+
+def _print_table(header: List[str], rows: List[List[str]], indent: str = "\t") -> None:
+    print(indent + "\t".join(header).expandtabs(24))
+    for row in rows:
+        print(indent + "\t".join(str(x) for x in row).expandtabs(24))

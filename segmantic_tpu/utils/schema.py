@@ -20,6 +20,9 @@ def _annotation_is_path(param: inspect.Parameter) -> bool:
     ann = param.annotation
     if ann is inspect.Parameter.empty:
         return False
+    if isinstance(ann, str):
+        # `from __future__ import annotations` leaves string annotations
+        return "Path" in ann
     if inspect.isclass(ann):
         return issubclass(ann, Path)
     # Optional[Path] / Union[Path, None]
@@ -35,6 +38,8 @@ def _ann_name(param: inspect.Parameter) -> str:
     ann = param.annotation
     if ann is inspect.Parameter.empty:
         return "Any"
+    if isinstance(ann, str):
+        return "Path" if _annotation_is_path(param) else ann
     return getattr(ann, "__name__", str(ann))
 
 

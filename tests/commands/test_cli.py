@@ -1,0 +1,141 @@
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from segmantic_tpu.commands.unet_cli import app
+from segmantic_tpu.core.volume import Volume, affine_from_spacing_origin
+from segmantic_tpu.io.nifti import write_volume
+from segmantic_tpu.utils import config
+
+
+def test_print_defaults_scaffold(tmp_path: Path):
+    cfg = tmp_path / "defaults.yml"
+    result = CliRunner().invoke(
+        app, ["train-config", "-c", str(cfg), "--print-defaults"]
+    )
+    assert result.exit_code == 0, result.output
+    data = config.load(cfg)
+    assert data["output_dir"] == "<required option: Path>"
+    assert data["num_classes"] == 0
+    assert data["max_epochs"] == 600
+    assert data["mixed_precision"] is True
+    assert "channels" in data and "strides" in data
+
+
+def test_print_defaults_cross_validate(tmp_path: Path):
+    cfg = tmp_path / "cv.json"
+    result = CliRunner().invoke(
+        app, ["cross-validate", "-c", str(cfg), "--print-defaults"]
+    )
+    assert result.exit_code == 0, result.output
+    data = config.load(cfg)
+    assert data["num_splits"] == 7
+    assert "config_files_dir" in data
+
+
+def test_train_config_rejects_unknown_key(tmp_path: Path):
+    cfg = tmp_path / "bad.yml"
+    config.dump({"bogus_key": 1}, cfg)
+    result = CliRunner().invoke(app, ["train-config", "-c", str(cfg)])
+    assert result.exit_code != 0
+    assert isinstance(result.exception, ValueError)
+
+
+@pytest.fixture(scope="module")
+def toy_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_toy")
+    img_dir, lbl_dir = root / "image", root / "label"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    aff = affine_from_spacing_origin((1.0, 1.0))
+    for i in range(4):
+        lbl = np.zeros((24, 24), np.int32)
+        lbl[4:12, 4:12] = 1
+        lbl[14:20, 14:20] = 2
+        img = (lbl == 1) * 2.0 + (lbl == 2) * -2.0 + rng.normal(0, 0.2, (24, 24))
+        write_volume(
+            img_dir / f"c{i}.nii.gz",
+            Volume(data=img.astype(np.float32)[None], affine=aff),
+        )
+        write_volume(
+            lbl_dir / f"c{i}.nii.gz",
+            Volume(data=lbl.astype(np.uint8)[None], affine=aff.copy()),
+        )
+    datalist = {
+        "labels": {"1": "A", "2": "B"},
+        "training": [
+            {"image": f"image/c{i}.nii.gz", "label": f"label/c{i}.nii.gz"}
+            for i in range(3)
+        ],
+        "validation": [
+            {"image": "image/c3.nii.gz", "label": "label/c3.nii.gz"}
+        ],
+        "test": [
+            {"image": "image/c3.nii.gz", "label": "label/c3.nii.gz"}
+        ],
+    }
+    dl = root / "datalist.json"
+    dl.write_text(json.dumps(datalist))
+    return root, dl
+
+
+def test_train_config_and_predict_end_to_end(toy_data, tmp_path):
+    root, datalist = toy_data
+    out = tmp_path / "run"
+    cfg = tmp_path / "train.yml"
+    config.dump(
+        {
+            "datalist": str(datalist),
+            "output_dir": str(out),
+            "spatial_dims": 2,
+            "spatial_size": [16, 16],
+            "channels": [4, 8],
+            "strides": [2],
+            "max_epochs": 2,
+            "mixed_precision": False,
+            "val_roi_size": [24, 24],
+        },
+        cfg,
+    )
+    result = CliRunner().invoke(app, ["train-config", "-c", str(cfg)])
+    assert result.exit_code == 0, result.output
+    ckpts = sorted(out.glob("*.ckpt"))
+    assert ckpts
+
+    pred_dir = tmp_path / "pred"
+    result = CliRunner().invoke(
+        app,
+        [
+            "predict",
+            "-d", str(datalist),
+            "-m", str(ckpts[0]),
+            "-r", str(pred_dir),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    saved = list(pred_dir.glob("*.nii.gz"))
+    assert len(saved) == 1
+    # prediction has same grid as input
+    from segmantic_tpu.io.nifti import read_volume
+
+    pred = read_volume(saved[0])
+    assert pred.spatial_shape == (24, 24)
+
+    # ensemble-predict (vote) over the produced checkpoints
+    ens_dir = tmp_path / "ens"
+    result = CliRunner().invoke(
+        app,
+        [
+            "ensemble-predict",
+            "-d", str(datalist),
+            "-m", str(out),
+            "-r", str(ens_dir),
+            "-cm", "vote",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    assert list(ens_dir.glob("*_seg.nii.gz"))
