@@ -1,0 +1,105 @@
+"""Benchmark: end-to-end training throughput (labeled voxels/sec/chip).
+
+Runs the flagship 3D residual UNet (reference-default topology
+16-32-64-128-256, strides 2^4, batch norm, PReLU) with the production train
+step — fused on-device augmentation (spatial affine gather + intensity zoo
++ flips), dice loss, backward, Adam — on synthetic 96^3 patches in bf16
+mixed precision, effective batch 8 patches (the reference's
+batch_size=2 x num_samples=4). Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"} where vs_baseline is against
+the 50k labeled voxels/sec/chip north-star (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from segmantic_tpu.models.unet import UNet
+    from segmantic_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+    from segmantic_tpu.train.augment import AugmentConfig
+    from segmantic_tpu.train.optim import make_optimizer
+    from segmantic_tpu.train.trainer import make_train_step
+
+    patch = (96, 96, 96)
+    margin = 24  # margin feeds fused rotation/zoom, like production
+    margin_shape = tuple(p + 2 * margin for p in patch)
+    batch = 8  # reference effective patch batch (batch_size=2 x num_samples=4)
+    num_classes = 8
+
+    model = UNet(
+        spatial_dims=3,
+        in_channels=1,
+        out_channels=num_classes,
+        channels=(16, 32, 64, 128, 256),
+        strides=(2, 2, 2, 2),
+        num_res_units=2,
+    )
+
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1,) + patch + (1,), jnp.float32), training=False
+    )
+    opt = make_optimizer({"optimizer": "Adam", "lr": 1e-4})
+    params = replicate(mesh, variables["params"])
+    batch_stats = replicate(mesh, variables.get("batch_stats", {}))
+    opt_state = replicate(mesh, opt.init(params))
+
+    aug_cfg = AugmentConfig(spatial=True, intensity=True)
+    step = make_train_step(model, opt, aug_cfg, patch, mixed_precision=True)
+
+    rng = np.random.default_rng(0)
+    image = rng.standard_normal((batch,) + margin_shape + (1,)).astype(np.float32)
+    label = rng.integers(0, num_classes, (batch,) + margin_shape).astype(np.int32)
+    image_d = jax.device_put(image, batch_sharding(mesh, image.ndim))
+    label_d = jax.device_put(label, batch_sharding(mesh, label.ndim))
+
+    key = jax.random.key(0)
+
+    # warmup / compile
+    params, batch_stats, opt_state, loss = step(
+        params, batch_stats, opt_state, image_d, label_d, key
+    )
+    jax.block_until_ready(loss)
+
+    steps = 10
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, image_d, label_d, sub
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    voxels_per_step = batch * int(np.prod(patch))
+    vox_per_sec = voxels_per_step * steps / dt
+    vox_per_sec_per_chip = vox_per_sec / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_labeled_voxels_per_sec_per_chip",
+                "value": round(vox_per_sec_per_chip, 1),
+                "unit": "voxels/s/chip",
+                "vs_baseline": round(vox_per_sec_per_chip / 50000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
