@@ -1,0 +1,388 @@
+// segmantic-tpu native runtime kernels (host side).
+//
+// TPU-native equivalents of the C++ machinery the reference leans on via
+// ITK/VTK (SURVEY.md §2.9):
+//  - exact Euclidean distance transform (Felzenszwalb/Huttenlocher lower
+//    envelope per axis == Maurer exactness) with anisotropic spacing,
+//    replacing itk::SignedMaurerDistanceMapImageFilter
+//    (reference: src/segmantic/seg/evaluation.py:17-25)
+//  - multithreaded affine resampling (trilinear / nearest, constant pad),
+//    replacing itk::ResampleImageFilter on the host cache-build path
+//    (reference: src/segmantic/image/processing.py:49-120)
+//  - label-surface extraction as voxel-face quad meshes with optional
+//    Laplacian smoothing, standing in for vtkDiscreteFlyingEdges3D
+//    (reference: scripts/visualize_label_surfaces.py:14-69)
+//
+// Plain C ABI for ctypes binding (no pybind11 in this environment).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <functional>
+#include <limits>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr float kInf = std::numeric_limits<float>::infinity();
+
+// ---------------------------------------------------------------------------
+// 1D squared distance transform (Felzenszwalb & Huttenlocher), with
+// per-sample spacing `h`: d(i) = min_j ((i-j)*h)^2 + f(j)
+void dt1d(const float* f, float* d, int n, double h, int* v, double* z) {
+  // clamp INF to a large finite value so the vanilla lower-envelope scan
+  // stays numerically valid (values >= kBig/2 are treated as INF on output)
+  constexpr double kBig = 1e20;
+  auto fv_at = [&](int i) -> double {
+    return f[i] >= kInf ? kBig : static_cast<double>(f[i]);
+  };
+  int k = 0;
+  v[0] = 0;
+  z[0] = -1e30;
+  z[1] = 1e30;
+  const double h2 = h * h;
+  for (int q = 1; q < n; ++q) {
+    double s;
+    while (true) {
+      s = ((fv_at(q) + h2 * q * q) - (fv_at(v[k]) + h2 * v[k] * v[k])) /
+          (2.0 * h2 * (q - v[k]));
+      if (s <= z[k] && k > 0) {
+        --k;
+      } else {
+        break;
+      }
+    }
+    ++k;
+    v[k] = q;
+    z[k] = s;
+    z[k + 1] = 1e30;
+  }
+  k = 0;
+  for (int q = 0; q < n; ++q) {
+    while (z[k + 1] < q) ++k;
+    const double dq = h * (q - v[k]);
+    const double val = dq * dq + fv_at(v[k]);
+    d[q] = val >= kBig / 2 ? kInf : static_cast<float>(val);
+  }
+}
+
+void parallel_for(int64_t n, const std::function<void(int64_t, int64_t)>& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = std::min<int64_t>(hw ? hw : 4, n);
+  if (n_threads <= 1) {
+    fn(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact EDT: out[x] = distance (mm, given spacing) from x to nearest
+// nonzero voxel of mask. shape is [d0, d1, d2] (pass d2=1 for 2D).
+void edt_distance_to_foreground(const uint8_t* mask, float* out,
+                                const int64_t* shape, const double* spacing,
+                                int ndim) {
+  const int64_t d0 = shape[0];
+  const int64_t d1 = ndim > 1 ? shape[1] : 1;
+  const int64_t d2 = ndim > 2 ? shape[2] : 1;
+  const int64_t n = d0 * d1 * d2;
+
+  // init: 0 at foreground, INF elsewhere
+  for (int64_t i = 0; i < n; ++i) out[i] = mask[i] ? 0.0f : kInf;
+
+  const double s0 = spacing ? spacing[0] : 1.0;
+  const double s1 = spacing && ndim > 1 ? spacing[1] : 1.0;
+  const double s2 = spacing && ndim > 2 ? spacing[2] : 1.0;
+
+  // axis 2 (contiguous)
+  if (d2 > 1) {
+    parallel_for(d0 * d1, [&](int64_t lo, int64_t hi) {
+      std::vector<float> buf(d2);
+      std::vector<int> v(d2);
+      std::vector<double> z(d2 + 1);
+      for (int64_t r = lo; r < hi; ++r) {
+        float* row = out + r * d2;
+        dt1d(row, buf.data(), static_cast<int>(d2), s2, v.data(), z.data());
+        std::memcpy(row, buf.data(), d2 * sizeof(float));
+      }
+    });
+  }
+  // axis 1
+  if (d1 > 1) {
+    parallel_for(d0 * d2, [&](int64_t lo, int64_t hi) {
+      std::vector<float> line(d1), buf(d1);
+      std::vector<int> v(d1);
+      std::vector<double> z(d1 + 1);
+      for (int64_t idx = lo; idx < hi; ++idx) {
+        const int64_t i0 = idx / d2;
+        const int64_t i2 = idx % d2;
+        float* base = out + i0 * d1 * d2 + i2;
+        for (int64_t j = 0; j < d1; ++j) line[j] = base[j * d2];
+        dt1d(line.data(), buf.data(), static_cast<int>(d1), s1, v.data(),
+             z.data());
+        for (int64_t j = 0; j < d1; ++j) base[j * d2] = buf[j];
+      }
+    });
+  }
+  // axis 0
+  if (d0 > 1) {
+    parallel_for(d1 * d2, [&](int64_t lo, int64_t hi) {
+      std::vector<float> line(d0), buf(d0);
+      std::vector<int> v(d0);
+      std::vector<double> z(d0 + 1);
+      for (int64_t idx = lo; idx < hi; ++idx) {
+        float* base = out + idx;
+        const int64_t stride = d1 * d2;
+        for (int64_t j = 0; j < d0; ++j) line[j] = base[j * stride];
+        dt1d(line.data(), buf.data(), static_cast<int>(d0), s0, v.data(),
+             z.data());
+        for (int64_t j = 0; j < d0; ++j) base[j * stride] = buf[j];
+      }
+    });
+  }
+  // sqrt
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      out[i] = out[i] >= kInf ? kInf : std::sqrt(out[i]);
+  });
+}
+
+// Multithreaded affine resample, channel-first float32.
+// matrix is row-major (ndim x (ndim+1)); in/out shapes are spatial only.
+void resample_affine_f32(const float* in, float* out, const int64_t* in_shape,
+                         const int64_t* out_shape, int64_t channels,
+                         const double* matrix, int ndim, int order,
+                         float cval) {
+  const int64_t I0 = in_shape[0];
+  const int64_t I1 = ndim > 1 ? in_shape[1] : 1;
+  const int64_t I2 = ndim > 2 ? in_shape[2] : 1;
+  const int64_t O0 = out_shape[0];
+  const int64_t O1 = ndim > 1 ? out_shape[1] : 1;
+  const int64_t O2 = ndim > 2 ? out_shape[2] : 1;
+  const int64_t in_spatial = I0 * I1 * I2;
+  const int64_t out_spatial = O0 * O1 * O2;
+  const int cols = ndim + 1;
+
+  auto m = [&](int r, int c) { return matrix[r * cols + c]; };
+
+  parallel_for(O0, [&](int64_t lo, int64_t hi) {
+    for (int64_t x = lo; x < hi; ++x) {
+      for (int64_t y = 0; y < O1; ++y) {
+        for (int64_t z = 0; z < O2; ++z) {
+          double src[3] = {0, 0, 0};
+          for (int a = 0; a < ndim; ++a) {
+            src[a] = m(a, 0) * x + m(a, ndim);
+            if (ndim > 1) src[a] += m(a, 1) * y;
+            if (ndim > 2) src[a] += m(a, 2) * z;
+          }
+          const int64_t out_idx = (x * O1 + y) * O2 + z;
+          bool inside = true;
+          if (order == 0) {
+            int64_t idx[3] = {0, 0, 0};
+            const int64_t dims[3] = {I0, I1, I2};
+            for (int a = 0; a < ndim; ++a) {
+              const double r = std::nearbyint(src[a]);
+              if (r < 0 || r > dims[a] - 1) inside = false;
+              idx[a] = std::min<int64_t>(
+                  std::max<int64_t>(static_cast<int64_t>(r), 0), dims[a] - 1);
+            }
+            const int64_t in_idx = (idx[0] * I1 + idx[1]) * I2 + idx[2];
+            for (int64_t c = 0; c < channels; ++c)
+              out[c * out_spatial + out_idx] =
+                  inside ? in[c * in_spatial + in_idx] : cval;
+          } else {
+            const int64_t dims[3] = {I0, I1, I2};
+            int64_t lo_i[3] = {0, 0, 0};
+            double w[3] = {0, 0, 0};
+            for (int a = 0; a < ndim; ++a) {
+              if (src[a] < 0 || src[a] > dims[a] - 1) inside = false;
+              const double fl = std::floor(src[a]);
+              lo_i[a] = std::min<int64_t>(
+                  std::max<int64_t>(static_cast<int64_t>(fl), 0), dims[a] - 1);
+              w[a] = src[a] - fl;
+            }
+            if (!inside) {
+              for (int64_t c = 0; c < channels; ++c)
+                out[c * out_spatial + out_idx] = cval;
+              continue;
+            }
+            const int corners = 1 << ndim;
+            for (int64_t c = 0; c < channels; ++c) {
+              double acc = 0.0;
+              for (int corner = 0; corner < corners; ++corner) {
+                double weight = 1.0;
+                int64_t idx[3] = {lo_i[0], lo_i[1], lo_i[2]};
+                bool valid = true;
+                for (int a = 0; a < ndim; ++a) {
+                  const int bit = (corner >> a) & 1;
+                  if (bit) {
+                    idx[a] = lo_i[a] + 1;
+                    if (idx[a] > dims[a] - 1) {
+                      valid = false;
+                      break;
+                    }
+                    weight *= w[a];
+                  } else {
+                    weight *= 1.0 - w[a];
+                  }
+                }
+                if (!valid || weight == 0.0) continue;
+                const int64_t in_idx = (idx[0] * I1 + idx[1]) * I2 + idx[2];
+                acc += weight * in[c * in_spatial + in_idx];
+              }
+              out[c * out_spatial + out_idx] = static_cast<float>(acc);
+            }
+          }
+        }
+      }
+    }
+  });
+}
+
+// Label-surface extraction: boundary faces of (label == id) as quads split
+// into triangles, vertices in physical space via the 4x4 affine, with
+// `smooth_iters` rounds of Laplacian smoothing.
+// Returns number of triangles; caller frees with surface_free.
+struct MeshBuffers {
+  std::vector<float> verts;   // 3 per vertex
+  std::vector<int64_t> tris;  // 3 indices per triangle
+};
+
+int64_t extract_label_surface(const uint16_t* labels, const int64_t* shape,
+                              const double* affine, uint16_t label_id,
+                              int smooth_iters, float** verts_out,
+                              int64_t* n_verts_out, int64_t** tris_out) {
+  const int64_t D0 = shape[0], D1 = shape[1], D2 = shape[2];
+  auto at = [&](int64_t i, int64_t j, int64_t k) -> bool {
+    if (i < 0 || j < 0 || k < 0 || i >= D0 || j >= D1 || k >= D2) return false;
+    return labels[(i * D1 + j) * D2 + k] == label_id;
+  };
+
+  // grid-corner vertex dedup
+  std::unordered_map<int64_t, int64_t> vert_ids;
+  std::vector<double> vcoords;  // voxel-corner coordinates (x3)
+  std::vector<int64_t> tris;
+
+  auto corner_id = [&](int64_t i, int64_t j, int64_t k) -> int64_t {
+    const int64_t key = (i * (D1 + 1) + j) * (D2 + 1) + k;
+    auto it = vert_ids.find(key);
+    if (it != vert_ids.end()) return it->second;
+    const int64_t id = static_cast<int64_t>(vcoords.size() / 3);
+    vert_ids.emplace(key, id);
+    vcoords.push_back(i - 0.5);
+    vcoords.push_back(j - 0.5);
+    vcoords.push_back(k - 0.5);
+    return id;
+  };
+
+  // face corner offsets per axis/side: quad of 4 voxel corners
+  static const int quad_offsets[3][4][3] = {
+      {{0, 0, 0}, {0, 1, 0}, {0, 1, 1}, {0, 0, 1}},  // axis 0 face
+      {{0, 0, 0}, {0, 0, 1}, {1, 0, 1}, {1, 0, 0}},  // axis 1 face
+      {{0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0}},  // axis 2 face
+  };
+
+  for (int64_t i = 0; i < D0; ++i) {
+    for (int64_t j = 0; j < D1; ++j) {
+      for (int64_t k = 0; k < D2; ++k) {
+        if (!at(i, j, k)) continue;
+        const int64_t nbr[6][3] = {{i - 1, j, k}, {i + 1, j, k}, {i, j - 1, k},
+                                   {i, j + 1, k}, {i, j, k - 1}, {i, j, k + 1}};
+        for (int f = 0; f < 6; ++f) {
+          if (at(nbr[f][0], nbr[f][1], nbr[f][2])) continue;
+          const int axis = f / 2;
+          const int side = f % 2;  // 0 = low face, 1 = high face
+          int64_t base[3] = {i, j, k};
+          base[axis] += side;
+          int64_t q[4];
+          for (int c = 0; c < 4; ++c) {
+            const int* off = quad_offsets[axis][c];
+            q[c] = corner_id(base[0] + off[0], base[1] + off[1],
+                             base[2] + off[2]);
+          }
+          // orient by side so normals point outward
+          if (side == 1) {
+            tris.insert(tris.end(), {q[0], q[1], q[2], q[0], q[2], q[3]});
+          } else {
+            tris.insert(tris.end(), {q[0], q[2], q[1], q[0], q[3], q[2]});
+          }
+        }
+      }
+    }
+  }
+
+  const int64_t n_verts = static_cast<int64_t>(vcoords.size() / 3);
+  const int64_t n_tris = static_cast<int64_t>(tris.size() / 3);
+
+  // Laplacian smoothing on the surface graph (uniform weights)
+  if (smooth_iters > 0 && n_verts > 0) {
+    std::vector<std::vector<int64_t>> nbrs(n_verts);
+    for (int64_t t = 0; t < n_tris; ++t) {
+      for (int e = 0; e < 3; ++e) {
+        const int64_t a = tris[3 * t + e];
+        const int64_t b = tris[3 * t + (e + 1) % 3];
+        nbrs[a].push_back(b);
+        nbrs[b].push_back(a);
+      }
+    }
+    std::vector<double> next(vcoords.size());
+    for (int iter = 0; iter < smooth_iters; ++iter) {
+      parallel_for(n_verts, [&](int64_t lo, int64_t hi) {
+        for (int64_t v = lo; v < hi; ++v) {
+          if (nbrs[v].empty()) {
+            for (int a = 0; a < 3; ++a) next[3 * v + a] = vcoords[3 * v + a];
+            continue;
+          }
+          double acc[3] = {0, 0, 0};
+          for (int64_t u : nbrs[v])
+            for (int a = 0; a < 3; ++a) acc[a] += vcoords[3 * u + a];
+          const double inv = 1.0 / nbrs[v].size();
+          for (int a = 0; a < 3; ++a)
+            next[3 * v + a] =
+                0.5 * vcoords[3 * v + a] + 0.5 * acc[a] * inv;
+        }
+      });
+      vcoords.swap(next);
+    }
+  }
+
+  // voxel corners -> physical via affine
+  auto* verts = static_cast<float*>(std::malloc(sizeof(float) * n_verts * 3));
+  for (int64_t v = 0; v < n_verts; ++v) {
+    const double x = vcoords[3 * v], y = vcoords[3 * v + 1],
+                 z = vcoords[3 * v + 2];
+    for (int r = 0; r < 3; ++r) {
+      verts[3 * v + r] = static_cast<float>(
+          affine[r * 4 + 0] * x + affine[r * 4 + 1] * y +
+          affine[r * 4 + 2] * z + affine[r * 4 + 3]);
+    }
+  }
+  auto* tri_buf =
+      static_cast<int64_t*>(std::malloc(sizeof(int64_t) * tris.size()));
+  std::memcpy(tri_buf, tris.data(), sizeof(int64_t) * tris.size());
+
+  *verts_out = verts;
+  *n_verts_out = n_verts;
+  *tris_out = tri_buf;
+  return n_tris;
+}
+
+void surface_free(void* p) { std::free(p); }
+
+}  // extern "C"

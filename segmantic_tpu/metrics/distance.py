@@ -18,13 +18,13 @@ from scipy import ndimage
 
 def _edt(mask: np.ndarray, spacing: Optional[Sequence[float]]) -> np.ndarray:
     """Distance from every voxel to the nearest nonzero voxel of ``mask``."""
+    if not mask.any():
+        return np.full(mask.shape, np.inf, dtype=np.float32)
     try:
-        from . import edt_native
+        from .. import native
 
-        return edt_native.distance_to_foreground(mask, spacing)
+        return native.edt_distance_to_foreground(mask, spacing)
     except Exception:
-        if not mask.any():
-            return np.full(mask.shape, np.inf, dtype=np.float32)
         return ndimage.distance_transform_edt(~mask.astype(bool), sampling=spacing)
 
 

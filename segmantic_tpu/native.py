@@ -1,0 +1,193 @@
+"""ctypes bindings for the native C++ runtime kernels (``native/``).
+
+Builds the shared library on first use when a compiler is available (no
+pybind11 in this environment — plain C ABI + ctypes). All entry points are
+optional: callers fall back to numpy/scipy implementations when the library
+is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libsegmantic_native.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _load() -> ctypes.CDLL:
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _load_failed:
+            raise RuntimeError("native library unavailable")
+        try:
+            if not _LIB_PATH.exists():
+                subprocess.run(
+                    ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True
+                )
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except Exception as e:
+            _load_failed = True
+            raise RuntimeError(f"native library unavailable: {e}") from e
+
+        lib.edt_distance_to_foreground.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+        ]
+        lib.resample_affine_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+        ]
+        lib.extract_label_surface.restype = ctypes.c_int64
+        lib.extract_label_surface.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_uint16,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ]
+        lib.surface_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except RuntimeError:
+        return False
+
+
+def _as_i64(seq: Sequence[int]) -> "ctypes.Array":
+    return (ctypes.c_int64 * len(seq))(*[int(s) for s in seq])
+
+
+def _as_f64(seq: Sequence[float]) -> "ctypes.Array":
+    return (ctypes.c_double * len(seq))(*[float(s) for s in seq])
+
+
+def edt_distance_to_foreground(
+    mask: np.ndarray, spacing: Optional[Sequence[float]] = None
+) -> np.ndarray:
+    """Exact EDT (mm): distance from each voxel to the nearest nonzero voxel."""
+    lib = _load()
+    mask = np.ascontiguousarray(mask.astype(np.uint8))
+    ndim = mask.ndim
+    if ndim not in (2, 3):
+        raise ValueError("EDT supports 2D/3D masks")
+    out = np.empty(mask.shape, np.float32)
+    spacing = list(spacing) if spacing is not None else [1.0] * ndim
+    lib.edt_distance_to_foreground(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _as_i64(mask.shape),
+        _as_f64(spacing),
+        ndim,
+    )
+    return out
+
+
+def resample_affine(
+    data: np.ndarray,
+    matrix: np.ndarray,
+    out_shape: Sequence[int],
+    order: int = 1,
+    cval: float = 0.0,
+) -> np.ndarray:
+    """Multithreaded channel-first affine resample (float32)."""
+    lib = _load()
+    nd = data.ndim - 1
+    work = np.ascontiguousarray(data, np.float32)
+    out = np.empty((data.shape[0],) + tuple(int(s) for s in out_shape), np.float32)
+    m = np.ascontiguousarray(matrix, np.float64)
+    lib.resample_affine_f32(
+        work.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _as_i64(work.shape[1:]),
+        _as_i64(out.shape[1:]),
+        work.shape[0],
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        nd,
+        order,
+        cval,
+    )
+    return out
+
+
+def extract_label_surface(
+    labels: np.ndarray,
+    affine: np.ndarray,
+    label_id: int,
+    smooth_iters: int = 10,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the surface of ``labels == label_id`` as (verts, triangles)."""
+    lib = _load()
+    labels = np.ascontiguousarray(np.squeeze(labels).astype(np.uint16))
+    if labels.ndim != 3:
+        raise ValueError("surface extraction expects a 3D label map")
+    affine = np.ascontiguousarray(affine, np.float64)
+
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    tris_p = ctypes.POINTER(ctypes.c_int64)()
+    n_verts = ctypes.c_int64(0)
+    n_tris = lib.extract_label_surface(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        _as_i64(labels.shape),
+        affine.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(label_id),
+        int(smooth_iters),
+        ctypes.byref(verts_p),
+        ctypes.byref(n_verts),
+        ctypes.byref(tris_p),
+    )
+    try:
+        verts = np.ctypeslib.as_array(verts_p, shape=(n_verts.value, 3)).copy()
+        tris = np.ctypeslib.as_array(tris_p, shape=(int(n_tris), 3)).copy()
+    finally:
+        lib.surface_free(verts_p)
+        lib.surface_free(tris_p)
+    return verts, tris
+
+
+def write_ply(path, verts: np.ndarray, tris: np.ndarray) -> None:
+    """Minimal binary-less PLY writer (ascii) for extracted surfaces."""
+    lines = [
+        "ply",
+        "format ascii 1.0",
+        f"element vertex {len(verts)}",
+        "property float x",
+        "property float y",
+        "property float z",
+        f"element face {len(tris)}",
+        "property list uchar int vertex_indices",
+        "end_header",
+    ]
+    for v in verts:
+        lines.append(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}")
+    for t in tris:
+        lines.append(f"3 {t[0]} {t[1]} {t[2]}")
+    Path(path).write_text("\n".join(lines) + "\n")

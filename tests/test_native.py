@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from segmantic_tpu import native
+from segmantic_tpu.ops.resample import resample_affine_np
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+def test_edt_matches_scipy():
+    rng = np.random.default_rng(0)
+    mask = rng.random((24, 20, 18)) > 0.97
+    mask[0, 0, 0] = True  # ensure nonempty
+    got = native.edt_distance_to_foreground(mask, spacing=(1.0, 1.5, 2.0))
+    want = ndimage.distance_transform_edt(~mask, sampling=(1.0, 1.5, 2.0))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_edt_2d():
+    mask = np.zeros((10, 10), bool)
+    mask[5, 5] = True
+    got = native.edt_distance_to_foreground(mask)
+    want = ndimage.distance_transform_edt(~mask)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_native_resample_matches_numpy():
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((2, 12, 11, 10)).astype(np.float32)
+    theta = 0.3
+    m = np.zeros((3, 4))
+    m[0, 0], m[0, 1] = np.cos(theta), -np.sin(theta)
+    m[1, 0], m[1, 1] = np.sin(theta), np.cos(theta)
+    m[2, 2] = 0.8
+    m[:, 3] = [0.5, -0.2, 0.7]
+    for order in (0, 1):
+        got = native.resample_affine(data, m, (9, 9, 9), order=order)
+        want = resample_affine_np(data, m, (9, 9, 9), order=order)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_surface_extraction_cube():
+    lbl = np.zeros((10, 10, 10), np.uint16)
+    lbl[3:7, 3:7, 3:7] = 1
+    verts, tris = native.extract_label_surface(lbl, np.eye(4), 1, smooth_iters=0)
+    # 4x4x4 cube: 6 faces x 16 quads x 2 triangles
+    assert len(tris) == 6 * 16 * 2
+    assert len(verts) > 0
+    # vertices sit on voxel-corner grid around the cube
+    assert verts.min() >= 2.4 and verts.max() <= 6.6
+
+
+def test_surface_ply_roundtrip(tmp_path):
+    lbl = np.zeros((6, 6, 6), np.uint16)
+    lbl[2:4, 2:4, 2:4] = 3
+    verts, tris = native.extract_label_surface(lbl, np.eye(4), 3, smooth_iters=2)
+    out = tmp_path / "mesh.ply"
+    native.write_ply(out, verts, tris)
+    text = out.read_text()
+    assert text.startswith("ply")
+    assert f"element vertex {len(verts)}" in text
+    assert f"element face {len(tris)}" in text
