@@ -77,3 +77,12 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch
     )
+
+
+def put_batch(mesh: Mesh, x: Any) -> Any:
+    """Shard the leading axis over 'data' when divisible; replicate otherwise
+    (tiny debug batches still run, production batches shard)."""
+    n_data = mesh.shape["data"]
+    if x.shape[0] % n_data == 0:
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+    return jax.device_put(x, NamedSharding(mesh, P()))
