@@ -5,9 +5,11 @@ Replaces MONAI's ``sliding_window_inference`` / ``SlidingWindowInferer``
 TPU-shaped: the window grid is computed once on the host (static window
 count per volume shape), windows are gathered with ``lax.dynamic_slice``
 inside one jitted step that runs ``sw_batch_size`` windows per forward, and
-the logits·weight accumulation is a jitted read-modify-write with traced
-window offsets — one compile per (volume shape, roi) pair, with the whole
-volume and both accumulators resident in HBM.
+the logits·weight accumulation runs through a Pallas DMA kernel on TPU
+(:mod:`segmantic_tpu.ops.pallas_blend`, ~5x the XLA fallback) with the
+window grid quantized to the kernel's alignment contract; the XLA
+read-modify-write path remains for CPU and unaligned configurations. The
+whole volume and accumulators stay resident in HBM.
 """
 
 from __future__ import annotations
@@ -20,20 +22,30 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import pallas_blend
+
 
 def window_starts(
-    image_size: Sequence[int], roi_size: Sequence[int], overlap: float
+    image_size: Sequence[int],
+    roi_size: Sequence[int],
+    overlap: float,
+    align: Optional[Sequence[int]] = None,
 ) -> List[Tuple[int, ...]]:
     """Window origin grid (MONAI convention): stride = roi * (1 - overlap),
-    last window snapped so it ends exactly at the image edge."""
+    last window snapped so it ends exactly at the image edge. With ``align``,
+    strides/starts are quantized (caller pads so the snapped last start is
+    aligned too)."""
     nd = len(image_size)
     per_axis: List[List[int]] = []
     for a in range(nd):
         size, roi = image_size[a], roi_size[a]
+        q = align[a] if align else 1
         if roi >= size:
             per_axis.append([0])
             continue
         stride = max(int(roi * (1.0 - overlap)), 1)
+        if q > 1:
+            stride = max((stride // q) * q, q)
         starts = list(range(0, size - roi + 1, stride))
         if starts[-1] != size - roi:
             starts.append(size - roi)
@@ -70,7 +82,7 @@ def _gather_windows(volume: jax.Array, starts: jax.Array, roi: Tuple[int, ...], 
 
 @jax.jit
 def _accumulate(acc, weight_acc, logits, importance, starts):
-    """Scatter-add logits*importance (and importance) at window offsets."""
+    """XLA fallback: scatter-add logits*importance (and importance)."""
     nd = starts.shape[1]
 
     def body(i, carry):
@@ -90,6 +102,35 @@ def _accumulate(acc, weight_acc, logits, importance, starts):
     return jax.lax.fori_loop(0, logits.shape[0], body, (acc, weight_acc))
 
 
+@jax.jit
+def _accumulate_weight(weight_acc, importance, starts):
+    """Weight-map-only accumulation (1/C of the traffic — stays on XLA)."""
+    nd = starts.shape[1]
+
+    def body(i, w_):
+        s = starts[i]
+        idx = tuple(s[a] for a in range(nd)) + (0,)
+        roi_c = importance.shape + (1,)
+        wcur = jax.lax.dynamic_slice(w_, idx, roi_c)
+        return jax.lax.dynamic_update_slice(w_, wcur + importance[..., None], idx)
+
+    return jax.lax.fori_loop(0, starts.shape[0], body, weight_acc)
+
+
+def _pallas_enabled(use_pallas, nd: int, roi, n_classes: int) -> Tuple[bool, int]:
+    if use_pallas is False:
+        return False, n_classes
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas == "auto" and not on_tpu:
+        return False, n_classes
+    if nd != 3:
+        return False, n_classes
+    c_pad = pallas_blend.padded_channels(n_classes)
+    if not pallas_blend.supports_roi(tuple(roi), c_pad):
+        return False, n_classes
+    return True, c_pad
+
+
 def sliding_window_inference(
     volume,  # (*spatial, C) array (np or jnp)
     roi_size: Sequence[int],
@@ -98,6 +139,7 @@ def sliding_window_inference(
     overlap: float = 0.25,
     mode: str = "gaussian",
     num_classes: Optional[int] = None,
+    use_pallas="auto",
 ) -> jax.Array:
     """Run tiled inference over an arbitrarily-sized volume.
 
@@ -108,56 +150,91 @@ def sliding_window_inference(
     nd = len(roi_size)
     spatial = volume.shape[:nd]
 
+    # probe classes with one minimal window if not given
+    if num_classes is None:
+        probe_vol = volume
+        pad0 = [max(roi_size[a] - spatial[a], 0) for a in range(nd)]
+        if any(pad0):
+            probe_vol = jnp.pad(
+                volume, [(0, p) for p in pad0] + [(0, 0)]
+            )
+        probe = predictor(
+            _gather_windows(probe_vol, jnp.zeros((1, nd), jnp.int32), tuple(roi_size), nd)
+        )
+        n_classes = probe.shape[-1]
+    else:
+        n_classes = num_classes
+
+    pallas_on, c_pad = _pallas_enabled(use_pallas, nd, roi_size, n_classes)
+
+    # padding: up to roi everywhere; plus alignment padding for the pallas grid
     pad = [max(roi_size[a] - spatial[a], 0) for a in range(nd)]
+    lo = [p // 2 for p in pad]
+    if pallas_on:
+        q1, q2 = pallas_blend.alignment_quanta(c_pad)
+        align = (1, q1, q2)
+        # pad high side so padded size is a multiple of the quantum (then
+        # size - roi is too, since roi is quantum-aligned per supports_roi)
+        for a, q in enumerate(align):
+            if q > 1:
+                total = spatial[a] + pad[a]
+                extra = (-total) % q
+                pad[a] += extra
+    else:
+        align = None
+
     if any(pad):
-        lo = [p // 2 for p in pad]
         widths = [(lo[a], pad[a] - lo[a]) for a in range(nd)] + [(0, 0)]
         volume = jnp.pad(volume, widths)
     padded = volume.shape[:nd]
 
-    starts = window_starts(padded, roi_size, overlap)
+    starts = window_starts(padded, roi_size, overlap, align=align)
     if mode == "gaussian":
         importance = jnp.asarray(gaussian_importance(roi_size))
     else:
         importance = jnp.ones(tuple(roi_size), jnp.float32)
 
-    # probe classes with one window if not given
-    first = _gather_windows(
-        volume, jnp.zeros((1, nd), jnp.int32), tuple(roi_size), nd
-    )
-    probe = predictor(first)
-    n_classes = probe.shape[-1] if num_classes is None else num_classes
-
-    acc = jnp.zeros(tuple(padded) + (n_classes,), jnp.float32)
+    acc_classes = c_pad if pallas_on else n_classes
+    acc = jnp.zeros(tuple(padded) + (acc_classes,), jnp.float32)
     wacc = jnp.zeros(tuple(padded) + (1,), jnp.float32)
+    tile = (
+        pallas_blend.pick_tile(*tuple(roi_size), acc_classes) if pallas_on else None
+    )
+
+    def flush(acc, wacc, logits, chunk):
+        starts_d = jnp.asarray(chunk)
+        if pallas_on:
+            if logits.shape[-1] < c_pad:
+                logits = jnp.pad(
+                    logits, [(0, 0)] * (logits.ndim - 1) + [(0, c_pad - logits.shape[-1])]
+                )
+            acc = pallas_blend.accumulate_windows_pallas(
+                acc, logits, importance, starts_d, tile=tile
+            )
+            wacc = _accumulate_weight(wacc, importance, starts_d)
+            return acc, wacc
+        return _accumulate(acc, wacc, logits, importance, starts_d)
 
     all_starts = np.asarray(starts, np.int32)
     n = len(starts)
     for i in range(0, n, sw_batch_size):
         chunk = all_starts[i : i + sw_batch_size]
-        if len(chunk) < sw_batch_size:  # pad to static batch, weight dupes once
+        short = len(chunk) < sw_batch_size
+        if short:  # pad to static batch, drop duplicate results before blending
             reps = sw_batch_size - len(chunk)
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], reps, axis=0)])
-            windows = _gather_windows(volume, jnp.asarray(chunk), tuple(roi_size), nd)
-            logits = predictor(windows)
-            logits = logits[: sw_batch_size - reps]
-            chunk = chunk[: sw_batch_size - reps]
-            acc, wacc = _accumulate(
-                acc, wacc, logits, importance, jnp.asarray(chunk)
+            padded_chunk = np.concatenate([chunk, np.repeat(chunk[-1:], reps, axis=0)])
+            windows = _gather_windows(
+                volume, jnp.asarray(padded_chunk), tuple(roi_size), nd
             )
+            logits = predictor(windows)[: len(chunk)]
         else:
             windows = _gather_windows(volume, jnp.asarray(chunk), tuple(roi_size), nd)
             logits = predictor(windows)
-            acc, wacc = _accumulate(acc, wacc, logits, importance, jnp.asarray(chunk))
+        acc, wacc = flush(acc, wacc, logits, chunk)
 
-    out = acc / wacc
-    if any(pad):
-        lo = [p // 2 for p in pad]
-        sl = tuple(slice(lo[a], lo[a] + spatial[a]) for a in range(nd)) + (
-            slice(None),
-        )
-        out = out[sl]
-    return out
+    out = acc[..., :n_classes] / wacc
+    sl = tuple(slice(lo[a], lo[a] + spatial[a]) for a in range(nd)) + (slice(None),)
+    return out[sl]
 
 
 class SlidingWindowInferer:
@@ -169,11 +246,13 @@ class SlidingWindowInferer:
         sw_batch_size: int = 4,
         overlap: float = 0.25,
         mode: str = "gaussian",
+        use_pallas="auto",
     ):
         self.roi_size = list(roi_size)
         self.sw_batch_size = sw_batch_size
         self.overlap = overlap
         self.mode = mode
+        self.use_pallas = use_pallas
 
     def __call__(self, volume, predictor: Callable):
         return sliding_window_inference(
@@ -183,4 +262,5 @@ class SlidingWindowInferer:
             predictor,
             overlap=self.overlap,
             mode=self.mode,
+            use_pallas=self.use_pallas,
         )

@@ -313,6 +313,7 @@ def train(
     batch_size: int = 2,
     spacing: Sequence[float] = (),
     val_roi_size: Sequence[int] = (),
+    profile_dir: Optional[Path] = None,
     seed: int = 0,
 ) -> TrainResult:
     """Train a residual UNet; returns the best checkpoint + history.
@@ -413,8 +414,16 @@ def train(
     rng_key = jax.random.key(seed)
     sharding = None
 
+    # tracing/profiling: capture a jax.profiler trace of the steady-state
+    # steps of epoch 1 when profile_dir is set (SURVEY.md §5.1 — the
+    # reference has no tracing; the trace feeds xprof/tensorboard)
+    profiling = False
+
     try:
         for epoch in range(max_epochs):
+            if profile_dir and epoch == 1 and not profiling:
+                jax.profiler.start_trace(str(profile_dir))
+                profiling = True
             t0 = time.time()
             epoch_loss = 0.0
             for step_i in range(steps_per_epoch):
@@ -436,6 +445,14 @@ def train(
                 )
                 epoch_loss += float(loss)
             epoch_loss /= steps_per_epoch
+            train_seconds = time.time() - t0
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"wrote profiler trace to {profile_dir}")
+            # throughput counters (labeled voxels/s across the whole mesh)
+            voxels_per_step = batch_size * num_samples * int(np.prod(patch_size))
+            voxels_per_sec = voxels_per_step * steps_per_epoch / max(train_seconds, 1e-9)
 
             # --- validation epoch ------------------------------------------
             variables = {"params": params, "batch_stats": batch_stats}
@@ -462,6 +479,7 @@ def train(
                 "val_dice": val_dice,
                 "lr": lr,
                 "seconds": time.time() - t0,
+                "train_voxels_per_sec": voxels_per_sec,
             }
             history.append(record)
             if writer:
@@ -469,6 +487,7 @@ def train(
                 writer.add_scalar("val_loss", val_loss, epoch)
                 writer.add_scalar("val_dice", val_dice, epoch)
                 writer.add_scalar("lr", lr, epoch)
+                writer.add_scalar("train_voxels_per_sec", voxels_per_sec, epoch)
             print(
                 f"epoch {epoch}: train_loss={epoch_loss:.4f} "
                 f"val_loss={val_loss:.4f} val_dice={val_dice:.4f} lr={lr:.2e}"
@@ -496,6 +515,8 @@ def train(
                 print(f"early stopping at epoch {epoch} (patience {early_stop_patience})")
                 break
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         if loader is not None:
             loader.stop()
         if writer:
