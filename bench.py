@@ -75,7 +75,11 @@ def main() -> None:
     )
     jax.block_until_ready(loss)
 
-    # the TPU pool is time-shared: take the best of several timing rounds
+    float(loss)  # full sync (device-to-host) before timing
+
+    # the TPU pool is time-shared: take the best of several timing rounds.
+    # NOTE: end each round with a host transfer — through the remote-TPU
+    # tunnel block_until_ready alone does not reliably fence execution.
     steps, rounds = 5, 4
     best_dt = float("inf")
     for _ in range(rounds):
@@ -85,7 +89,7 @@ def main() -> None:
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state, image_d, label_d, sub
             )
-        jax.block_until_ready(loss)
+        float(loss)  # blocks until the chain of steps has executed
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     voxels_per_step = batch * int(np.prod(patch))

@@ -117,7 +117,7 @@ def _augment_one(
         label = label[sl]
 
     if cfg.intensity:
-        k_c, k_h, k_b, k_g, k_s = jax.random.split(keys[1], 5)
+        k_c, k_h, k_b = jax.random.split(keys[1], 3)
 
         def maybe(k, prob, fn, x):
             kp, kv = jax.random.split(k)
@@ -142,31 +142,43 @@ def _augment_one(
             )
             return iops.bias_field(x, coeff, cfg.bias_degree)
 
-        def gibbs(kv, x):
-            alpha = jax.random.uniform(
-                kv, (), minval=cfg.gibbs_alpha[0], maxval=cfg.gibbs_alpha[1]
-            )
-            return iops.gibbs_noise(x, alpha)
-
-        def spike(kv, x):
-            k1, k2 = jax.random.split(kv)
-            loc = jax.random.uniform(k1, (nd,), minval=0.55, maxval=0.95)
-            inten = jax.random.uniform(
-                k2, (), minval=cfg.spike_intensity[0], maxval=cfg.spike_intensity[1]
-            )
-            return iops.kspace_spike(x, loc, inten)
-
         image = maybe(k_c, cfg.contrast_prob, contrast, image)
         image = maybe(k_h, cfg.hist_shift_prob, hist, image)
         image = maybe(k_b, cfg.bias_prob, bias, image)
-        image = maybe(k_g, cfg.gibbs_prob, gibbs, image)
-        image = maybe(k_s, cfg.spike_prob, spike, image)
+        # gibbs / k-space spike (3D-FFT heavy) are applied batch-level on a
+        # fixed-size random subset — see augment_batch
 
     # per-axis random flips (always on, prob cfg.flip_prob each)
     do_flip = jax.random.uniform(keys[2], (nd,)) < cfg.flip_prob
     image = iops.flip(image, do_flip)
     label = iops.flip(label, do_flip)
     return image, label
+
+
+def _subset_count(prob: float, batch: int) -> int:
+    return int(round(prob * batch))
+
+
+def _apply_subset_fft_aug(images, key, count, fn):
+    """Apply an expensive aug to a random fixed-size subset of the batch.
+
+    Exact-count semantics: a random permutation picks WHICH ``count`` samples
+    get the aug (so the per-sample probability is count/B per step), and the
+    FFT work is only ``count``/B of the masked-``where`` formulation.
+    ``images`` is (B, C, *spatial) channel-first.
+    """
+    if count <= 0:
+        return images
+    k_perm, k_aug = jax.random.split(key)
+    batch = images.shape[0]
+    perm = jax.random.permutation(k_perm, batch)
+    shuffled = jnp.take(images, perm, axis=0)
+    sub_keys = jax.random.split(k_aug, count)
+    augmented = jax.vmap(fn)(sub_keys, shuffled[:count])
+    shuffled = jnp.concatenate([augmented, shuffled[count:]], axis=0)
+    # unpermute so image/label pairing is preserved
+    inv = jnp.argsort(perm)
+    return jnp.take(shuffled, inv, axis=0)
 
 
 @partial(jax.jit, static_argnames=("cfg", "out_shape"))
@@ -182,10 +194,36 @@ def augment_batch(
     Returns (B, *out_shape, C) images and (B, *out_shape) labels.
     """
     batch = images.shape[0]
+    key, k_gibbs, k_spike = jax.random.split(key, 3)
     keys = jax.random.split(key, batch)
     imgs_cf = jnp.moveaxis(images, -1, 1)  # (B, C, *spatial)
     lbls_cf = labels[:, None].astype(jnp.int32)
 
     aug = jax.vmap(lambda i, l, k: _augment_one(i, l, k, cfg, tuple(out_shape)))
     out_img, out_lbl = aug(imgs_cf, lbls_cf, keys)
+
+    if cfg.intensity:
+        nd = out_img.ndim - 2
+
+        def gibbs(kv, x):
+            alpha = jax.random.uniform(
+                kv, (), minval=cfg.gibbs_alpha[0], maxval=cfg.gibbs_alpha[1]
+            )
+            return iops.gibbs_noise(x, alpha)
+
+        def spike(kv, x):
+            k1, k2 = jax.random.split(kv)
+            loc = jax.random.uniform(k1, (nd,), minval=0.55, maxval=0.95)
+            inten = jax.random.uniform(
+                k2, (), minval=cfg.spike_intensity[0], maxval=cfg.spike_intensity[1]
+            )
+            return iops.kspace_spike(x, loc, inten)
+
+        out_img = _apply_subset_fft_aug(
+            out_img, k_gibbs, _subset_count(cfg.gibbs_prob, batch), gibbs
+        )
+        out_img = _apply_subset_fft_aug(
+            out_img, k_spike, _subset_count(cfg.spike_prob, batch), spike
+        )
+
     return jnp.moveaxis(out_img, 1, -1), out_lbl[:, 0]
