@@ -39,7 +39,7 @@ from ..image.labels import load_decathlon_tissuelist, load_tissue_list
 from ..infer.sliding_window import sliding_window_inference
 from ..metrics.overlap import confusion_matrix, dice_from_confusion
 from ..models.unet import UNet
-from ..parallel.mesh import batch_sharding, make_mesh, replicate
+from ..parallel.mesh import make_mesh, put_batch, replicate
 from ..transforms import spatial as TS
 from ..transforms.base import Compose
 from ..transforms.registry import build_pipeline
@@ -412,7 +412,6 @@ def train(
     best_dice, best_epoch, since_best = 0.0, -1, 0
     history: List[Dict[str, float]] = []
     rng_key = jax.random.key(seed)
-    sharding = None
 
     # tracing/profiling: capture a jax.profiler trace of the steady-state
     # steps of epoch 1 when profile_dir is set (SURVEY.md §5.1 — the
@@ -433,12 +432,8 @@ def train(
                     image_b, label_b = _host_augment_batch(
                         train_cache, host_augment, batch_size, num_samples, seed, epoch, step_i
                     )
-                if sharding is None:
-                    sharding = batch_sharding(mesh, image_b.ndim)
-                image_d = jax.device_put(image_b, sharding)
-                label_d = jax.device_put(
-                    label_b, batch_sharding(mesh, label_b.ndim)
-                )
+                image_d = put_batch(mesh, image_b)
+                label_d = put_batch(mesh, label_b)
                 rng_key, step_key = jax.random.split(rng_key)
                 params, batch_stats, opt_state, loss = train_step(
                     params, batch_stats, opt_state, image_d, label_d, step_key
