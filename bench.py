@@ -80,7 +80,7 @@ def main() -> None:
     # the TPU pool is time-shared: take the best of several timing rounds.
     # NOTE: end each round with a host transfer — through the remote-TPU
     # tunnel block_until_ready alone does not reliably fence execution.
-    steps, rounds = 5, 4
+    steps, rounds = 4, 3
     best_dt = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()

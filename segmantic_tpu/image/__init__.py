@@ -1,3 +1,3 @@
-from . import labels, modality, processing
+from . import labels, modality, processing, utils
 
-__all__ = ["labels", "modality", "processing"]
+__all__ = ["labels", "modality", "processing", "utils"]

@@ -37,10 +37,18 @@ def histogram_shift(x: jax.Array, src: jax.Array, dst: jax.Array) -> jax.Array:
 
     ``src``/``dst`` are (num_control_points,) monotone sequences in the
     sample's [min, max] range (MONAI RandHistogramShift semantics).
+
+    Formulated gather-free as a sum of clamped linear segments —
+    f(v) = dst[0] + sum_i m_i * clip(v - src_i, 0, src_{i+1} - src_i) —
+    which runs as pure VPU FMAs instead of searchsorted+gather (matters on
+    TPU where this maps over whole patch batches).
     """
     mn, mx = jnp.min(x), jnp.max(x)
-    flat = jnp.interp(x.reshape(-1), src, dst)
-    out = flat.reshape(x.shape)
+    deltas = jnp.maximum(src[1:] - src[:-1], 1e-12)
+    slopes = (dst[1:] - dst[:-1]) / deltas
+    out = jnp.full_like(x, dst[0])
+    for i in range(src.shape[0] - 1):
+        out = out + slopes[i] * jnp.clip(x - src[i], 0.0, deltas[i])
     # preserve original global range like MONAI (control points pin ends)
     return jnp.clip(out, mn, mx)
 
