@@ -20,7 +20,8 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.resample import resample_affine_jax
+from ..ops.resample import resample_affine_jax  # noqa: F401 (exact-path reference)
+from ..ops.shear_resample import center_crop, rotate_zoom_shear
 from ..transforms import intensity_ops as iops
 
 
@@ -91,8 +92,23 @@ def _spatial_matrix(
     return jnp.concatenate([lin, offset[:, None]], axis=1)
 
 
+def _random_spatial_params(key: jax.Array, cfg: AugmentConfig, nd: int):
+    k_rot_p, k_rot, k_zoom_p, k_zoom = jax.random.split(key, 4)
+    n_rot = 3 if nd == 3 else 1
+    angles = jax.random.uniform(
+        k_rot, (n_rot,), minval=-cfg.rotate_range, maxval=cfg.rotate_range
+    )
+    do_rot = jax.random.uniform(k_rot_p, (n_rot,)) < cfg.rotate_prob
+    angles = jnp.where(do_rot, angles, 0.0)
+    zoom = jax.random.uniform(
+        k_zoom, (), minval=cfg.zoom_range[0], maxval=cfg.zoom_range[1]
+    )
+    zoom = jnp.where(jax.random.uniform(k_zoom_p, ()) < cfg.zoom_prob, zoom, 1.0)
+    return angles, zoom
+
+
 def _augment_one(
-    image: jax.Array,  # (C, *margin_shape) channel-first for the gather
+    image: jax.Array,  # (C, *margin_shape) channel-first
     label: jax.Array,  # (1, *margin_shape)
     key: jax.Array,
     cfg: AugmentConfig,
@@ -102,19 +118,13 @@ def _augment_one(
     keys = jax.random.split(key, 8)
 
     if cfg.spatial:
-        m = _spatial_matrix(keys[0], cfg, nd, image.shape[1:], out_shape)
-        image = resample_affine_jax(image, m, out_shape, order=1)
-        label = resample_affine_jax(label, m, out_shape, order=0)
-    else:
-        # center-crop margin patch to the output size
-        starts = [
-            (image.shape[1 + a] - out_shape[a]) // 2 for a in range(nd)
-        ]
-        sl = (slice(None),) + tuple(
-            slice(s, s + out_shape[a]) for a, s in enumerate(starts)
-        )
-        image = image[sl]
-        label = label[sl]
+        # shear-decomposed rotation + zoom: row gathers instead of per-voxel
+        # gathers (~10x on TPU; see ops/shear_resample.py)
+        angles, zoom = _random_spatial_params(keys[0], cfg, nd)
+        image = rotate_zoom_shear(image, angles, zoom, order=1)
+        label = rotate_zoom_shear(label, angles, zoom, order=0)
+    image = center_crop(image, out_shape)
+    label = center_crop(label, out_shape)
 
     if cfg.intensity:
         k_c, k_h, k_b = jax.random.split(keys[1], 3)

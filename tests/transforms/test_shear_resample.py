@@ -1,0 +1,117 @@
+"""Shear-decomposed rotation/zoom vs the exact affine gather."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segmantic_tpu.ops.resample import resample_affine_np
+from segmantic_tpu.ops.shear_resample import (
+    center_crop,
+    rotate_pass,
+    rotate_zoom_shear,
+    scale_pass,
+    shear_pass,
+)
+
+
+def _smooth_blob(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    coords = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    x = np.zeros(shape)
+    for _ in range(4):
+        c = rng.uniform(-0.5, 0.5, len(shape))
+        w = rng.uniform(0.2, 0.5)
+        r2 = sum((g - ci) ** 2 for g, ci in zip(coords, c))
+        x += np.exp(-r2 / w**2)
+    return x[None].astype(np.float32)  # (1, *shape)
+
+
+def test_identity_is_exact():
+    x = _smooth_blob((20, 22, 24))
+    out = rotate_zoom_shear(
+        jnp.asarray(x), jnp.zeros(3), jnp.asarray(1.0), order=1
+    )
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-6)
+
+
+def test_shear_pass_shifts_rows():
+    x = np.zeros((1, 9, 9), np.float32)
+    x[0, 4, :] = 1.0  # a horizontal line at a=4
+    out = np.asarray(shear_pass(jnp.asarray(x), 0, 1, jnp.asarray(1.0), order=0))
+    # out(a, b) = in(a - s*(b - c)): line moves to a = 4 + (b - 4)
+    for b in range(9):
+        expected_a = 4 + (b - 4)
+        if 0 <= expected_a < 9:
+            assert out[0, expected_a, b] == 1.0, (b, expected_a)
+
+
+def test_scale_pass_zoom_in_centers():
+    x = np.zeros((1, 9, 9), np.float32)
+    x[0, 4, 4] = 1.0
+    out = np.asarray(scale_pass(jnp.asarray(x), 0, jnp.asarray(3.0), order=1))
+    # content zoom: center voxel spreads, stays centered
+    assert out[0, 4, 4] == pytest.approx(1.0, abs=1e-5)
+    assert out[0].sum() > 1.0
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_rotation_matches_affine_gather(axis):
+    shape = (32, 32, 32)
+    x = _smooth_blob(shape, seed=axis)
+    theta = 0.35
+
+    got = np.asarray(
+        rotate_pass(jnp.asarray(x), axis, jnp.asarray(theta), order=1)
+    )
+
+    # exact gather with the same content rotation: in = R^{-1} @ out (about center)
+    from segmantic_tpu.train.augment import _rotation_matrix
+
+    rot = np.asarray(_rotation_matrix(3, jnp.where(np.arange(3) == axis, theta, 0.0)))
+    center = (np.asarray(shape) - 1) / 2
+    m = np.zeros((3, 4))
+    m[:, :3] = rot.T
+    m[:, 3] = center - rot.T @ center
+    want = resample_affine_np(x, m, shape, order=1)
+
+    # interiors agree (shears interpolate thrice -> slightly smoother)
+    core = (slice(0, 1),) + (slice(8, 24),) * 3
+    err = np.abs(got[core] - want[core]).max()
+    assert err < 0.06, err
+    corr = np.corrcoef(got[core].ravel(), want[core].ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
+def test_rotation_labels_preserve_values():
+    lbl = np.zeros((1, 24, 24, 24), np.int32)
+    lbl[0, 8:16, 8:16, 8:16] = 2
+    out = np.asarray(
+        rotate_zoom_shear(jnp.asarray(lbl), jnp.asarray([0.3, 0.0, 0.0]), jnp.asarray(1.1), order=0)
+    )
+    assert set(np.unique(out)) <= {0, 2}
+    assert (out == 2).sum() > 0
+
+
+def test_zoom_matches_affine_gather():
+    shape = (24, 24, 24)
+    x = _smooth_blob(shape, seed=7)
+    z = 1.25
+    got = np.asarray(
+        rotate_zoom_shear(jnp.asarray(x), jnp.zeros(3), jnp.asarray(z), order=1)
+    )
+    center = (np.asarray(shape) - 1) / 2
+    m = np.zeros((3, 4))
+    for a in range(3):
+        m[a, a] = 1 / z
+        m[a, 3] = center[a] - center[a] / z
+    want = resample_affine_np(x, m, shape, order=1)
+    core = (slice(0, 1),) + (slice(6, 18),) * 3
+    np.testing.assert_allclose(got[core], want[core], atol=0.03)
+
+
+def test_center_crop():
+    x = jnp.arange(1 * 6 * 6).reshape(1, 6, 6)
+    out = center_crop(x, (4, 4))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x[:, 1:5, 1:5]))
