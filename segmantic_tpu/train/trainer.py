@@ -356,7 +356,10 @@ def train(
     if datalist:
         dataset = PairedDataSet.load_from_json(Path(datalist))
     elif image_dir and labels_dir:
-        dataset = PairedDataSet(Path(image_dir), "*.nii.gz", Path(labels_dir), "*.nii.gz")
+        dataset = PairedDataSet(
+            Path(image_dir), "*.nii.gz", Path(labels_dir), "*.nii.gz",
+            random_seed=seed,
+        )
     else:
         raise ValueError("provide either datalist or image_dir+labels_dir")
     (output_dir / "Dataset.json").write_text(dataset.dump_dataset())
