@@ -386,3 +386,65 @@ int64_t extract_label_surface(const uint16_t* labels, const int64_t* shape,
 void surface_free(void* p) { std::free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Parallel gzip compression (pigz-style): the input is split into chunks and
+// each thread deflates its chunk as an independent gzip member; the
+// concatenation of members is a valid multi-member gzip stream (RFC 1952),
+// decodable by any gzip reader. Used by the NIfTI codec for .nii.gz writes
+// (replacing single-threaded zlib on the host I/O path).
+
+#include <zlib.h>
+
+extern "C" {
+
+int64_t gzip_compress_parallel(const uint8_t* in, int64_t n, int level,
+                               uint8_t** out, int64_t* out_len) {
+  const int64_t chunk = 4 * 1024 * 1024;
+  const int64_t n_chunks = n == 0 ? 1 : (n + chunk - 1) / chunk;
+  std::vector<std::vector<uint8_t>> parts(n_chunks);
+  std::atomic<bool> failed{false};
+
+  parallel_for(n_chunks, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t off = i * chunk;
+      const int64_t len = std::min(chunk, n - off);
+      z_stream zs;
+      std::memset(&zs, 0, sizeof(zs));
+      // windowBits 15+16 → gzip wrapper
+      if (deflateInit2(&zs, level, Z_DEFLATED, 15 + 16, 8,
+                       Z_DEFAULT_STRATEGY) != Z_OK) {
+        failed = true;
+        return;
+      }
+      const uLong bound = deflateBound(&zs, static_cast<uLong>(len)) + 32;
+      parts[i].resize(bound);
+      zs.next_in = const_cast<Bytef*>(in + off);
+      zs.avail_in = static_cast<uInt>(len);
+      zs.next_out = parts[i].data();
+      zs.avail_out = static_cast<uInt>(bound);
+      if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+        failed = true;
+        deflateEnd(&zs);
+        return;
+      }
+      parts[i].resize(zs.total_out);
+      deflateEnd(&zs);
+    }
+  });
+  if (failed) return -1;
+
+  int64_t total = 0;
+  for (auto& p : parts) total += static_cast<int64_t>(p.size());
+  auto* buf = static_cast<uint8_t*>(std::malloc(total));
+  int64_t pos = 0;
+  for (auto& p : parts) {
+    std::memcpy(buf + pos, p.data(), p.size());
+    pos += static_cast<int64_t>(p.size());
+  }
+  *out = buf;
+  *out_len = total;
+  return 0;
+}
+
+}  // extern "C"

@@ -212,6 +212,15 @@ def ensemble_predict_cmd(
 
 
 def main() -> None:
+    # test/CI hook: force a jax platform even when the environment's
+    # sitecustomize pins one (env JAX_PLATFORMS alone can be overridden)
+    import os
+
+    forced = os.environ.get("SEGMANTIC_FORCE_PLATFORM")
+    if forced:
+        import jax
+
+        jax.config.update("jax_platforms", forced)
     app()
 
 

@@ -57,16 +57,22 @@ def _quaternion_to_rotation(b: float, c: float, d: float) -> np.ndarray:
     )
 
 
+def _gunzip_multimember(raw: bytes) -> bytes:
+    """Inflate a (possibly multi-member, pigz-style) gzip stream."""
+    chunks = []
+    while raw:
+        d = zlib.decompressobj(wbits=47)
+        chunks.append(d.decompress(raw))
+        chunks.append(d.flush())
+        raw = d.unused_data
+    return b"".join(chunks)
+
+
 def _read_bytes(path: Path) -> bytes:
     path = Path(path)
     raw = path.read_bytes()
     if raw[:2] == b"\x1f\x8b":  # gzip magic
-        try:
-            from . import zturbo
-
-            return zturbo.decompress(raw)
-        except Exception:
-            return zlib.decompress(raw, wbits=47)
+        return _gunzip_multimember(raw)
     return raw
 
 

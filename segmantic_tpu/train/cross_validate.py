@@ -78,6 +78,9 @@ def cross_validate(
             fold_config.write_text(config.dumps(data, is_json=False))
 
             print(f"start training: {fold_out}")
+            repo_root = str(Path(__file__).resolve().parent.parent.parent)
+            env = dict(os.environ)
+            env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
             result = sp.run(
                 [
                     sys.executable,
@@ -88,6 +91,7 @@ def cross_validate(
                     str(fold_config),
                 ],
                 cwd=os.fspath(fold_out),
+                env=env,
             )
             print(f"training finished : {result.returncode == 0}")
 

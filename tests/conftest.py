@@ -17,6 +17,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # The environment's sitecustomize registers a TPU backend and overrides
 # jax_platforms directly — force CPU via jax.config before any device use.
+# SEGMANTIC_FORCE_PLATFORM propagates the same to subprocesses (cross-val).
+os.environ["SEGMANTIC_FORCE_PLATFORM"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
