@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import inspect
 from pathlib import Path
-from typing import List, Optional
+from typing import Optional
 
 import click
 

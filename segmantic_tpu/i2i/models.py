@@ -9,8 +9,6 @@ architectures), bf16-friendly.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

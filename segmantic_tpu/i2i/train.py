@@ -10,10 +10,8 @@ sharded over the mesh 'data' axis.
 from __future__ import annotations
 
 import dataclasses
-import time
-from functools import partial
 from pathlib import Path
-from typing import Callable, Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ import numpy as np
 from scipy import ndimage
 
 from ..core.volume import Volume
-from ..ops.resample import grid_matrix, output_affine_for_spacing, resample_affine_np
+from ..ops.resample import resample_affine_np
 
 
 def otsu_threshold(data: np.ndarray, bins: int = 200) -> float:

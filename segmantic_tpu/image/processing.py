@@ -12,7 +12,6 @@ SpatialPad, which the training path actually relies on).
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import numpy as np

@@ -19,11 +19,9 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from ..metrics.overlap import confusion_matrix, confusion_matrix_metrics, dice_from_confusion
 from ..transforms import post as TP
-from ..transforms.base import Compose
 from ..train.trainer import SegmentationModel, default_preprocessing, make_val_forward
 from .sliding_window import sliding_window_inference
 

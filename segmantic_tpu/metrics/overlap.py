@@ -9,7 +9,7 @@ src/segmantic/seg/monai_unet.py:135-139,641-647): one fused
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import itertools
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

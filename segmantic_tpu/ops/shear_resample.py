@@ -18,8 +18,7 @@ reference for arbitrary matrices (spacing resample, inversion).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,12 +15,11 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.resample import resample_affine_jax  # noqa: F401 (exact-path reference)
 from ..ops.shear_resample import center_crop, rotate_zoom_shear
 from ..transforms import intensity_ops as iops
 

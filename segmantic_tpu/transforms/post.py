@@ -12,7 +12,7 @@ instead of MONAI's traced-metadata mechanism.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ a single affine gather in :mod:`segmantic_tpu.data.sampler`.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import numpy as np
 
