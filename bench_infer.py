@@ -1,0 +1,73 @@
+"""Secondary benchmark: sliding-window inference throughput (vols/min/chip).
+
+Runs the flagship 3D residual UNet over a typical head-MRI-sized volume
+(256x256x176, 8 classes) with roi 96^3, overlap 0.25, Gaussian blending —
+Pallas blend kernel on TPU — and prints one JSON line with volumes/minute
+per chip. (The driver's headline bench is bench.py; this one documents the
+inference-side number from BASELINE.md.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from segmantic_tpu.infer.sliding_window import sliding_window_inference
+    from segmantic_tpu.models.unet import UNet
+
+    vol_shape = (256, 256, 176)
+    roi = (96, 96, 96)
+    num_classes = 8
+
+    model = UNet(spatial_dims=3, in_channels=1, out_channels=num_classes)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1,) + roi + (1,), jnp.bfloat16), training=False
+    )
+
+    @jax.jit
+    def forward(variables, windows):
+        return model.apply(variables, windows.astype(jnp.bfloat16), training=False)
+
+    def predictor(windows):
+        return forward(variables, windows).astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    volume = rng.standard_normal(vol_shape + (1,)).astype(np.float32)
+
+    # warmup (compile)
+    out = sliding_window_inference(volume, roi, 4, predictor, overlap=0.25)
+    float(jnp.sum(out))
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = sliding_window_inference(volume, roi, 4, predictor, overlap=0.25)
+        float(jnp.sum(out))
+        best = min(best, time.perf_counter() - t0)
+
+    vols_per_min = 60.0 / best
+    print(
+        json.dumps(
+            {
+                "metric": "sliding_window_vols_per_min_per_chip",
+                "value": round(vols_per_min, 2),
+                "unit": "volumes(256x256x176)/min/chip",
+                "seconds_per_volume": round(best, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
