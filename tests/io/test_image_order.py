@@ -14,7 +14,7 @@ def test_reverse_ordering_is_view():
     x = np.arange(2 * 3 * 4).reshape(2, 3, 4)
     v = array_view_reverse_ordering(x)
     assert v.shape == (4, 3, 2)
-    assert v.base is x
+    assert np.shares_memory(v, x)
     assert v[1, 2, 0] == x[0, 2, 1]
     # mutating the view mutates the original (no copy)
     v[0, 0, 0] = 99
