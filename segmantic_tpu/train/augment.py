@@ -63,34 +63,6 @@ def _rotation_matrix(nd: int, angles: jax.Array) -> jax.Array:
     return rot
 
 
-def _spatial_matrix(
-    key: jax.Array, cfg: AugmentConfig, nd: int, in_shape, out_shape
-) -> jax.Array:
-    """(nd, nd+1) map from output (patch) index to input (margin patch) index:
-    center the patch, then apply inverse rotation and inverse zoom."""
-    k_rot_p, k_rot, k_zoom_p, k_zoom = jax.random.split(key, 4)
-
-    angles = jax.random.uniform(
-        k_rot, (3 if nd == 3 else 1,), minval=-cfg.rotate_range, maxval=cfg.rotate_range
-    )
-    do_rot = (
-        jax.random.uniform(k_rot_p, (3 if nd == 3 else 1,)) < cfg.rotate_prob
-    )
-    angles = jnp.where(do_rot, angles, 0.0)
-    rot = _rotation_matrix(nd, angles)
-
-    zoom = jax.random.uniform(
-        k_zoom, (), minval=cfg.zoom_range[0], maxval=cfg.zoom_range[1]
-    )
-    zoom = jnp.where(jax.random.uniform(k_zoom_p, ()) < cfg.zoom_prob, zoom, 1.0)
-
-    in_center = (jnp.asarray(in_shape, jnp.float32) - 1) / 2
-    out_center = (jnp.asarray(out_shape, jnp.float32) - 1) / 2
-    lin = rot.T / zoom  # inverse map: out voxel -> in voxel
-    offset = in_center - lin @ out_center
-    return jnp.concatenate([lin, offset[:, None]], axis=1)
-
-
 def _random_spatial_params(key: jax.Array, cfg: AugmentConfig, nd: int):
     k_rot_p, k_rot, k_zoom_p, k_zoom = jax.random.split(key, 4)
     n_rot = 3 if nd == 3 else 1
