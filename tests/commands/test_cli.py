@@ -139,3 +139,26 @@ def test_train_config_and_predict_end_to_end(toy_data, tmp_path):
     )
     assert result.exit_code == 0, result.output
     assert list(ens_dir.glob("*_seg.nii.gz"))
+
+
+def test_train_subcommand_help_and_flags():
+    # the direct `train` subcommand builds the full default 3D UNet — too
+    # heavy for CI; check the argument surface instead
+    result = CliRunner().invoke(app, ["train", "--help"])
+    assert result.exit_code == 0
+    for flag in ("--datalist", "--tissue-list", "--output-dir", "--num-channels",
+                 "--max-epochs", "--gpu-ids"):
+        assert flag in result.output
+    # missing required flag is a clean usage error
+    result = CliRunner().invoke(app, ["train"])
+    assert result.exit_code != 0
+
+
+def test_package_lazy_api():
+    import segmantic_tpu
+
+    assert callable(segmantic_tpu.train_model)
+    assert callable(segmantic_tpu.predict)
+    assert segmantic_tpu.UNet is not None
+    with pytest.raises(AttributeError):
+        segmantic_tpu.nope
