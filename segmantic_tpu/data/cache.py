@@ -63,14 +63,27 @@ class VolumeCache:
         preprocessing: Compose,
         num_classes: int,
         cache_rate: float = 1.0,
+        num_workers: Optional[int] = None,
     ):
         self.files = list(files)
         self.preprocessing = preprocessing
         self.num_classes = num_classes
         n_cache = int(len(self.files) * cache_rate)
         self._cache: Dict[int, CachedVolume] = {}
-        for i in range(n_cache):
-            self._cache[i] = self._load(i)
+        if n_cache:
+            import concurrent.futures as cf
+            import os
+
+            workers = num_workers or min(os.cpu_count() or 1, n_cache, 8)
+            if workers > 1:
+                # numpy/zlib release the GIL — threads parallelize the
+                # decode+preprocess cache build across volumes
+                with cf.ThreadPoolExecutor(workers) as pool:
+                    for i, vol in enumerate(pool.map(self._load, range(n_cache))):
+                        self._cache[i] = vol
+            else:
+                for i in range(n_cache):
+                    self._cache[i] = self._load(i)
 
     def _load(self, i: int) -> CachedVolume:
         sample = dict(self.files[i])

@@ -159,7 +159,7 @@ class Spacingd(MapTransform):
             )
             m = grid_matrix(vol.affine, out_aff, nd)
             order = 0 if key in self.label_keys else 1
-            data = resample_affine_np(vol.numpy(), m, out_shape, order=order)
+            data = self._resample(vol.numpy(), m, out_shape, order)
             new = vol.with_data(data, out_aff)
             new.applied_ops.append(
                 {
@@ -170,6 +170,24 @@ class Spacingd(MapTransform):
             )
             out[key] = new
         return out
+
+    @staticmethod
+    def _resample(data: np.ndarray, m: np.ndarray, out_shape, order: int) -> np.ndarray:
+        """Prefer the multithreaded native resampler on the cache-build hot
+        path (float32, 3D); exact numpy fallback elsewhere."""
+        if data.ndim - 1 == 3:
+            try:
+                from .. import native
+
+                out = native.resample_affine(
+                    data.astype(np.float32), m, out_shape, order=order
+                )
+                return out if np.issubdtype(data.dtype, np.floating) else out.astype(
+                    data.dtype
+                )
+            except Exception:
+                pass
+        return resample_affine_np(data, m, out_shape, order=order)
 
 
 class EnsureTyped(MapTransform):
