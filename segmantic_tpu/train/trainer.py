@@ -225,13 +225,18 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
-def make_val_forward(module: UNet):
+def make_val_forward(module: UNet, compute_dtype=jnp.bfloat16):
     """Jitted eval forward created ONCE per model (stable jit cache across
-    validation epochs — variables are an argument, not a closure)."""
+    validation epochs — variables are an argument, not a closure).
+
+    Windows are cast to ``compute_dtype`` (bf16 by default, like training
+    mixed precision) and logits returned in f32 for blending.
+    """
 
     @jax.jit
     def val_forward(variables, windows):
-        return module.apply(variables, windows, training=False)
+        out = module.apply(variables, windows.astype(compute_dtype), training=False)
+        return out.astype(jnp.float32)
 
     return val_forward
 
