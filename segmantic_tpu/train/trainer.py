@@ -188,7 +188,8 @@ def _resolve_num_classes(
         if tissue_list:
             tissues = load_tissue_list(Path(tissue_list))
         elif datalist:
-            tissues = load_decathlon_tissuelist(Path(datalist))
+            first = datalist[0] if isinstance(datalist, (list, tuple)) else datalist
+            tissues = load_decathlon_tissuelist(Path(first))
         else:
             raise ValueError("need num_classes, tissue_list, or datalist labels")
         num_classes = max(tissues.values()) + 1
@@ -359,7 +360,8 @@ def train(
 
     # --- data --------------------------------------------------------------
     if datalist:
-        dataset = PairedDataSet.load_from_json(Path(datalist))
+        # single file or a LIST of datalist files (multi-dataset training)
+        dataset = PairedDataSet.load_from_json(datalist)
     elif image_dir and labels_dir:
         dataset = PairedDataSet(
             Path(image_dir), "*.nii.gz", Path(labels_dir), "*.nii.gz",

@@ -89,8 +89,11 @@ def validate_against_signature(
         if key not in sig.parameters:
             raise ValueError(f"Unexpected argument {key}")
         param = sig.parameters[key]
-        if value and _annotation_is_path(param):
+        if value and _annotation_is_path(param) and isinstance(value, (str, Path)):
             valid[key] = Path(value)
+        elif value and _annotation_is_path(param) and isinstance(value, (list, tuple)):
+            # e.g. 'datalist' may be a list of datalist files (multi-dataset)
+            valid[key] = [Path(v) for v in value]
         else:
             valid[key] = value
     return valid
