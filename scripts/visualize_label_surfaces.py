@@ -23,14 +23,15 @@ from segmantic_tpu.io.nifti import read_volume
 @click.option("--labels", type=int, multiple=True, default=(),
               help="label ids to extract (default: all nonzero)")
 @click.option("--smooth-iters", type=int, default=10)
-def main(labelmap: Path, output_dir: Path, labels: tuple, smooth_iters: int):
+@click.option("--method", type=click.Choice(["surface_net", "voxel"]), default="surface_net")
+def main(labelmap: Path, output_dir: Path, labels: tuple, smooth_iters: int, method: str):
     vol = read_volume(labelmap)
     data = vol.numpy()[0]
     output_dir.mkdir(parents=True, exist_ok=True)
     ids = list(labels) if labels else [int(v) for v in np.unique(data) if v != 0]
     for label_id in ids:
         verts, tris = native.extract_label_surface(
-            data, vol.affine, label_id, smooth_iters=smooth_iters
+            data, vol.affine, label_id, smooth_iters=smooth_iters, method=method
         )
         out = output_dir / f"{labelmap.name.replace('.nii.gz', '')}_label{label_id}.ply"
         native.write_ply(out, verts, tris)

@@ -58,8 +58,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int,
             ctypes.c_float,
         ]
-        lib.extract_label_surface.restype = ctypes.c_int64
-        lib.extract_label_surface.argtypes = [
+        surface_sig = [
             ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double),
@@ -69,6 +68,10 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
         ]
+        lib.extract_label_surface.restype = ctypes.c_int64
+        lib.extract_label_surface.argtypes = surface_sig
+        lib.extract_label_surface_net.restype = ctypes.c_int64
+        lib.extract_label_surface_net.argtypes = surface_sig
         lib.surface_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
@@ -143,9 +146,19 @@ def extract_label_surface(
     affine: np.ndarray,
     label_id: int,
     smooth_iters: int = 10,
+    method: str = "surface_net",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Extract the surface of ``labels == label_id`` as (verts, triangles)."""
+    """Extract the surface of ``labels == label_id`` as (verts, triangles).
+
+    method: 'surface_net' (naive surface nets — smooth, watertight, default)
+    or 'voxel' (blocky voxel-face quads).
+    """
     lib = _load()
+    fn = (
+        lib.extract_label_surface_net
+        if method == "surface_net"
+        else lib.extract_label_surface
+    )
     labels = np.ascontiguousarray(np.squeeze(labels).astype(np.uint16))
     if labels.ndim != 3:
         raise ValueError("surface extraction expects a 3D label map")
@@ -154,7 +167,7 @@ def extract_label_surface(
     verts_p = ctypes.POINTER(ctypes.c_float)()
     tris_p = ctypes.POINTER(ctypes.c_int64)()
     n_verts = ctypes.c_int64(0)
-    n_tris = lib.extract_label_surface(
+    n_tris = fn(
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         _as_i64(labels.shape),
         affine.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

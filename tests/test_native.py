@@ -63,3 +63,42 @@ def test_surface_ply_roundtrip(tmp_path):
     assert text.startswith("ply")
     assert f"element vertex {len(verts)}" in text
     assert f"element face {len(tris)}" in text
+
+
+def test_surface_net_sphere_smoother_than_voxel():
+    # sphere mask: surface-net vertices should hug the radius much tighter
+    n = 24
+    g = np.meshgrid(*[np.arange(n)] * 3, indexing="ij")
+    c = (n - 1) / 2
+    r2 = sum((gg - c) ** 2 for gg in g)
+    lbl = (r2 < 8.0**2).astype(np.uint16)
+
+    def radial_spread(method, smooth):
+        verts, tris = native.extract_label_surface(
+            lbl, np.eye(4), 1, smooth_iters=smooth, method=method
+        )
+        radii = np.linalg.norm(verts - c, axis=1)
+        assert len(tris) > 0
+        # watertight: every directed edge count matches its reverse
+        edges = {}
+        for t in tris:
+            for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                edges[(a, b)] = edges.get((a, b), 0) + 1
+        for (a, b), cnt in edges.items():
+            assert cnt == edges.get((b, a), 0), "non-watertight"
+        return radii.std()
+
+    spread_net = radial_spread("surface_net", smooth=0)
+    spread_vox = radial_spread("voxel", smooth=0)
+    assert spread_net < spread_vox * 0.8, (spread_net, spread_vox)
+
+
+def test_surface_net_cube_counts():
+    lbl = np.zeros((10, 10, 10), np.uint16)
+    lbl[3:7, 3:7, 3:7] = 1
+    verts, tris = native.extract_label_surface(
+        lbl, np.eye(4), 1, smooth_iters=0, method="surface_net"
+    )
+    # 4^3 cube: 6 faces x 4x4 crossing edges x 2 triangles
+    assert len(tris) == 6 * 16 * 2
+    assert len(verts) > 0
