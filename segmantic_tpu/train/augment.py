@@ -4,11 +4,12 @@ TPU-native redesign of the reference's per-volume host augmentation chain
 (reference: src/segmantic/seg/monai_unet.py:178-219): instead of rotating /
 zooming whole volumes on the host and then cropping, the patch sampler
 crops margin patches and this module applies — inside one jit, vmapped over
-the batch — a *single fused affine gather* (rotation ∘ zoom ∘ center-crop)
-plus flips and the intensity zoo (gamma contrast, histogram shift,
-polynomial bias field, Gibbs ringing, k-space spikes). Each sample draws
-independent params from a ``jax.random`` key, so augmentation is
-deterministic given the step key.
+the batch — shear-decomposed rotation+zoom (row gathers; see
+ops/shear_resample.py) followed by a center crop, plus flips and the
+intensity zoo (gamma contrast, histogram shift, polynomial bias field, and
+Gibbs ringing / k-space spikes on exact-count random batch subsets).
+Each sample draws independent params from a ``jax.random`` key, so
+augmentation is deterministic given the step key.
 """
 
 from __future__ import annotations
