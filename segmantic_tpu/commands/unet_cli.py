@@ -199,7 +199,9 @@ def ensemble_predict_cmd(
             tissue_dict = None
 
     ensemble_creator(
-        model_files=sorted(Path(models_dir).glob("*.ckpt")),
+        model_files=sorted(
+            p for p in Path(models_dir).glob("*.ckpt") if p.name != "last.ckpt"
+        ),
         test_images=test_images,
         test_labels=test_labels if test_labels else None,
         tissue_dict=tissue_dict,

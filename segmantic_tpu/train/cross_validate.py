@@ -102,7 +102,9 @@ def cross_validate(
                     raise ValueError("test image/label count mismatch")
                 from ..infer.predict import predict
 
-                for ckpt in sorted(fold_out.glob("*.ckpt")):
+                for ckpt in sorted(
+                    p for p in fold_out.glob("*.ckpt") if p.name != "last.ckpt"
+                ):
                     print(f"start prediction: {ckpt}")
                     predict(
                         model_file=ckpt,

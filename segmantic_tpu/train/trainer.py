@@ -45,7 +45,7 @@ from ..transforms.base import Compose
 from ..transforms.registry import build_pipeline
 from ..utils.json import PathEncoder
 from .augment import AugmentConfig, augment_batch
-from .checkpoint import TopKCheckpoints, load_checkpoint
+from .checkpoint import TopKCheckpoints, load_checkpoint, save_checkpoint
 from .losses import dice_loss
 from .optim import (
     DEFAULT_LR_SCHEDULING,
@@ -515,6 +515,14 @@ def train(
                     jax.device_get({"params": params, "batch_stats": batch_stats}),
                     model.hparams,
                 )
+
+            # always-current snapshot for interrupted-run resume
+            save_checkpoint(
+                output_dir / "last.ckpt",
+                jax.device_get({"params": params, "batch_stats": batch_stats}),
+                model.hparams,
+                metrics={"epoch": epoch, "val_loss": val_loss, "val_dice": val_dice},
+            )
 
             if since_best >= early_stop_patience:
                 print(f"early stopping at epoch {epoch} (patience {early_stop_patience})")

@@ -96,3 +96,15 @@ def test_topk_checkpoints(tmp_path: Path):
     assert parse_val_dice(mgr.best) == pytest.approx(0.7)
     # worse than all kept -> rejected
     assert mgr.update(3, 0.7, 0.1, variables, {}) is None
+
+
+def test_last_ckpt_written_and_resumable(tmp_path: Path):
+    # covered end-to-end by trainer tests; here the save/load contract
+    from segmantic_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    variables = {"params": {"w": np.ones(3, np.float32)}}
+    save_checkpoint(tmp_path / "last.ckpt", variables, {"num_classes": 2},
+                    metrics={"epoch": 5, "val_dice": 0.5})
+    back = load_checkpoint(tmp_path / "last.ckpt")
+    assert back["metrics"]["epoch"] == 5
+    assert back["hparams"]["num_classes"] == 2
