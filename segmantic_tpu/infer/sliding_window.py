@@ -140,12 +140,27 @@ def sliding_window_inference(
     mode: str = "gaussian",
     num_classes: Optional[int] = None,
     use_pallas="auto",
+    mesh=None,
 ) -> jax.Array:
     """Run tiled inference over an arbitrarily-sized volume.
 
     Returns (*spatial, num_classes) blended logits. The volume is zero-padded
     up to the roi when smaller (result cropped back).
+
+    With ``mesh``, window batches are sharded over the mesh's 'data' axis so
+    the model forward fans out across chips (the spatial analog of context
+    parallelism — SURVEY.md §2.9); windows are independent, so results are
+    identical to single-device execution.
     """
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        n_data = mesh.shape["data"]
+        if sw_batch_size % n_data != 0:
+            sw_batch_size = max(n_data, (sw_batch_size // n_data) * n_data)
+        window_sharding = batch_sharding(mesh, len(roi_size) + 2)
+    else:
+        window_sharding = None
     volume = jnp.asarray(volume)
     nd = len(roi_size)
     spatial = volume.shape[:nd]
@@ -226,9 +241,13 @@ def sliding_window_inference(
             windows = _gather_windows(
                 volume, jnp.asarray(padded_chunk), tuple(roi_size), nd
             )
+            if window_sharding is not None:
+                windows = jax.device_put(windows, window_sharding)
             logits = predictor(windows)[: len(chunk)]
         else:
             windows = _gather_windows(volume, jnp.asarray(chunk), tuple(roi_size), nd)
+            if window_sharding is not None:
+                windows = jax.device_put(windows, window_sharding)
             logits = predictor(windows)
         acc, wacc = flush(acc, wacc, logits, chunk)
 
