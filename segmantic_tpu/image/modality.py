@@ -109,13 +109,111 @@ def _sharpen_histogram(
     return out
 
 
+def _bspline_weights(t: np.ndarray) -> np.ndarray:
+    """Uniform cubic B-spline basis values for local parameter t ∈ [0,1):
+    returns (4, len(t)) weights for controls i-1..i+2."""
+    t2, t3 = t * t, t * t * t
+    return np.stack(
+        [
+            (1 - 3 * t + 3 * t2 - t3) / 6.0,
+            (4 - 6 * t2 + 3 * t3) / 6.0,
+            (1 + 3 * t + 3 * t2 - 3 * t3) / 6.0,
+            t3 / 6.0,
+        ]
+    )
+
+
+def _bspline_coords(n: int, g: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Map voxel index 0..n-1 into the control lattice of g cells
+    (g+3 controls): returns (cell index, (4,n) weights)."""
+    u = np.linspace(0, g - 1e-6, n)
+    cell = np.floor(u).astype(np.int64)
+    w = _bspline_weights(u - cell)
+    return cell, w
+
+
+_BSPLINE_BASIS_CACHE: dict = {}
+
+
+def _bspline_basis(shape, cells: int):
+    """(idx_list, w_list, n_ctrl): flattened full-grid control indices and
+    weights for each of the 4^nd tensor-product basis offsets (cached)."""
+    key = (tuple(shape), cells)
+    if key in _BSPLINE_BASIS_CACHE:
+        return _BSPLINE_BASIS_CACHE[key]
+    import itertools as _it
+
+    nd = len(shape)
+    axes = [_bspline_coords(n, cells) for n in shape]
+    n_ctrl_axis = [cells + 3] * nd
+    n_ctrl = int(np.prod(n_ctrl_axis))
+
+    idx_list, w_list = [], []
+    for offsets in _it.product(range(4), repeat=nd):
+        idx = np.zeros(shape, np.int64)
+        w = np.ones(shape, np.float64)
+        for a in range(nd):
+            cell, wts = axes[a]
+            expand = (1,) * a + (shape[a],) + (1,) * (nd - a - 1)
+            idx = idx * n_ctrl_axis[a] + np.broadcast_to(
+                (cell + offsets[a]).reshape(expand), shape
+            )
+            w = w * wts[offsets[a]].reshape(expand)
+        idx_list.append(idx.reshape(-1))
+        w_list.append(w.reshape(-1))
+    _BSPLINE_BASIS_CACHE[key] = (idx_list, w_list, n_ctrl)
+    return _BSPLINE_BASIS_CACHE[key]
+
+
+def fit_bspline_field(
+    residual: np.ndarray,  # (*spatial) values to fit
+    mask: np.ndarray,  # (*spatial) bool
+    cells: int = 4,
+    reg: float = 1e-5,
+) -> np.ndarray:
+    """Regularized least-squares cubic B-spline fit of ``residual`` over the
+    masked voxels, evaluated on the full grid (N4's field model — the
+    reference delegates this to itk::N4BiasFieldCorrectionImageFilter's
+    B-spline fitter; reference: src/segmantic/image/modality.py:27-31)."""
+    shape = residual.shape
+    idx_full, w_full, n_ctrl = _bspline_basis(shape, cells)
+
+    flat_mask = mask.reshape(-1)
+    r = residual.reshape(-1)[flat_mask]
+    idx_list = [i[flat_mask] for i in idx_full]
+    w_list = [w[flat_mask] for w in w_full]
+
+    # normal equations AtWA c = AtW r via scattered adds (the matrix is
+    # small — (cells+3)^nd controls — but banded-dense)
+    ata = np.zeros((n_ctrl, n_ctrl), np.float64)
+    atb = np.zeros(n_ctrl, np.float64)
+    k = len(idx_list)
+    for a in range(k):
+        atb += np.bincount(idx_list[a], weights=w_list[a] * r, minlength=n_ctrl)
+        np.add.at(ata, (idx_list[a], idx_list[a]), w_list[a] * w_list[a])
+        for b in range(a + 1, k):
+            w_ab = w_list[a] * w_list[b]
+            np.add.at(ata, (idx_list[a], idx_list[b]), w_ab)
+            np.add.at(ata, (idx_list[b], idx_list[a]), w_ab)
+
+    ata[np.diag_indices_from(ata)] += reg * max(ata.max(), 1e-12)
+    # lstsq tolerates the singular rows of never-touched boundary controls
+    coeff = np.linalg.lstsq(ata, atb, rcond=None)[0]
+
+    field = np.zeros(int(np.prod(shape)), np.float64)
+    for idx, w in zip(idx_full, w_full):
+        field += coeff[idx] * w
+    return field.reshape(shape)
+
+
 def bias_correct(
     input: Volume,
     mask: Optional[Volume] = None,
     shrink_factor: int = 4,
     num_fitting_levels: int = 4,
     num_iterations: int = 50,
-    convergence_threshold: float = 1e-3,
+    convergence_threshold: float = 1e-4,
+    field_fit: str = "bspline",
 ) -> Volume:
     """N4-style MRI bias-field correction.
 
@@ -147,16 +245,24 @@ def bias_correct(
 
     for level in range(num_fitting_levels):
         sigma = base_sigma / (2**level)
-        for _ in range(max(num_iterations // num_fitting_levels, 1)):
+        cells = 2 ** (level + 1)  # N4-style: control resolution doubles/level
+        # ITK N4 runs num_iterations PER fitting level
+        for _ in range(max(num_iterations, 1)):
             sharpened = _sharpen_histogram(current, m)
             residual = np.where(m, current - sharpened, 0.0)
-            # smooth-field fit: normalized Gaussian smoothing within the mask
-            weight = m.astype(np.float32)
             smooth_r = np.empty_like(residual)
             for c in range(residual.shape[0]):
-                num_s = ndimage.gaussian_filter(residual[c] * weight[c], sigma)
-                den_s = ndimage.gaussian_filter(weight[c], sigma)
-                smooth_r[c] = np.where(den_s > 1e-6, num_s / np.maximum(den_s, 1e-6), 0)
+                if field_fit == "bspline":
+                    smooth_r[c] = fit_bspline_field(
+                        residual[c].astype(np.float64), m[c], cells=cells
+                    )
+                else:  # normalized Gaussian smoothing within the mask
+                    weight = m[c].astype(np.float32)
+                    num_s = ndimage.gaussian_filter(residual[c] * weight, sigma)
+                    den_s = ndimage.gaussian_filter(weight, sigma)
+                    smooth_r[c] = np.where(
+                        den_s > 1e-6, num_s / np.maximum(den_s, 1e-6), 0
+                    )
             log_bias = log_bias + smooth_r
             new = log_small - log_bias
             change = float(np.abs(new - current)[m].std()) if m.any() else 0.0

@@ -76,4 +76,36 @@ def test_bias_correct_reduces_bias():
     # coefficient of variation should drop substantially
     cv_before = corrupted.std() / corrupted.mean()
     cv_after = out.std() / out.mean()
-    assert cv_after < cv_before * 0.5
+    assert cv_after < cv_before * 0.2, (cv_before, cv_after)
+
+
+def test_fit_bspline_field_recovers_smooth_field():
+    x = np.linspace(-1, 1, 20)
+    gx, gy = np.meshgrid(x, x, indexing="ij")
+    truth = 0.4 * gx + 0.2 * gy * gy
+    mask = np.ones_like(truth, bool)
+    mask[5:8, 5:8] = False  # hole: spline must interpolate through
+    fit = M.fit_bspline_field(truth, mask, cells=4)
+    assert np.abs(fit - truth).max() < 0.02
+
+
+def test_bias_correct_bspline_mode():
+    rng = np.random.default_rng(5)
+    shape = (1, 24, 24, 24)
+    truth = np.full(shape, 100.0, dtype=np.float32)
+    x = np.linspace(-1, 1, 24)
+    gx, gy, gz = np.meshgrid(x, x, x, indexing="ij")
+    bias = np.exp(0.4 * gx - 0.3 * gy + 0.2 * gz)[None]
+    corrupted = (truth * bias).astype(np.float32)
+    corrected = M.bias_correct(
+        Volume(data=corrupted),
+        mask=Volume(data=np.ones(shape, np.uint8)),
+        shrink_factor=2,
+        num_fitting_levels=3,
+        num_iterations=30,
+        field_fit="bspline",
+    )
+    out = corrected.numpy()
+    cv_before = corrupted.std() / corrupted.mean()
+    cv_after = out.std() / out.mean()
+    assert cv_after < cv_before * 0.2, (cv_before, cv_after)
