@@ -39,6 +39,7 @@ def ensemble_evaluate(
     sw_batch_size: int = 4,
     overlap: float = 0.5,
     forwards: Optional[list] = None,
+    mesh=None,
 ) -> dict:
     """Run every model on a preprocessed sample → pred0..predN logits volumes."""
     image = np.moveaxis(sample["image"].numpy(), 0, -1)
@@ -51,7 +52,8 @@ def ensemble_evaluate(
             return fwd(variables, windows)
 
         logits = sliding_window_inference(
-            image, roi, sw_batch_size, predictor, overlap=overlap, mode="gaussian"
+            image, roi, sw_batch_size, predictor, overlap=overlap, mode="gaussian",
+            mesh=mesh,
         )
         vol = sample["image"].with_data(
             np.moveaxis(np.asarray(logits), -1, 0).astype(np.float32)

@@ -49,6 +49,7 @@ def predict(
     sw_batch_size: int = 4,
     overlap: float = 0.25,
     save_confusion_plots: bool = True,
+    mesh=None,
 ) -> List[CaseResult]:
     """Run inference on test images; returns per-case results.
 
@@ -90,7 +91,8 @@ def predict(
 
         image = np.moveaxis(sample["image"].numpy(), 0, -1)
         logits = sliding_window_inference(
-            image, roi, sw_batch_size, predictor, overlap=overlap, mode="gaussian"
+            image, roi, sw_batch_size, predictor, overlap=overlap, mode="gaussian",
+            mesh=mesh,
         )
         logits = np.moveaxis(np.asarray(logits), -1, 0)  # (C, *spatial)
 
