@@ -110,6 +110,8 @@ class SegmentationModel:
         strides: Tuple[int, ...] = (2, 2, 2, 2),
         dropout: float = 0.0,
         act: str = "PRELU",
+        num_res_units: int = 2,
+        norm: str = "BATCH",
         seed: int = 0,
     ) -> "SegmentationModel":
         hparams = {
@@ -121,6 +123,8 @@ class SegmentationModel:
             "strides": list(strides),
             "dropout": dropout,
             "act": act,
+            "num_res_units": num_res_units,
+            "norm": norm,
         }
         module = UNet(
             spatial_dims=spatial_dims,
@@ -130,6 +134,8 @@ class SegmentationModel:
             strides=tuple(strides),
             dropout=dropout,
             act=act,
+            num_res_units=num_res_units,
+            norm=norm,
         )
         probe_shape = (1,) + (max(16, 2 ** len(strides)),) * spatial_dims + (
             num_channels,
@@ -152,6 +158,8 @@ class SegmentationModel:
             strides=tuple(h.get("strides", (2, 2, 2, 2))),
             dropout=h.get("dropout", 0.0),
             act=h.get("act", "PRELU"),
+            num_res_units=h.get("num_res_units", 2),
+            norm=h.get("norm", "BATCH"),
         )
         template = model.variables
         restored = jax.tree_util.tree_map(
@@ -307,6 +315,8 @@ def train(
     strides: Tuple[int, ...] = (2, 2, 2, 2),
     dropout: float = 0.0,
     act: str = "PRELU",
+    num_res_units: int = 2,
+    norm: str = "BATCH",
     num_samples: int = 4,
     optimizer: Optional[dict] = None,
     lr_scheduling: Optional[dict] = None,
@@ -354,6 +364,8 @@ def train(
             strides=tuple(strides),
             dropout=dropout,
             act=act,
+            num_res_units=num_res_units,
+            norm=norm,
             seed=seed,
         )
     patch_size = model.spatial_size
