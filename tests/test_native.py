@@ -102,3 +102,16 @@ def test_surface_net_cube_counts():
     # 4^3 cube: 6 faces x 4x4 crossing edges x 2 triangles
     assert len(tris) == 6 * 16 * 2
     assert len(verts) > 0
+
+
+def test_native_resample_2d():
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((1, 15, 13)).astype(np.float32)
+    theta = 0.25
+    m = np.array(
+        [[np.cos(theta), -np.sin(theta), 1.0], [np.sin(theta), np.cos(theta), -0.5]]
+    )
+    for order in (0, 1):
+        got = native.resample_affine(data, m, (11, 12), order=order)
+        want = resample_affine_np(data, m, (11, 12), order=order)
+        np.testing.assert_allclose(got, want, atol=2e-4)
