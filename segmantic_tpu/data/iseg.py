@@ -76,8 +76,11 @@ def export_to_iseg(
                 group.create_dataset(
                     "rgbo", dtype=float, data=np.array([r, g, b, 0.5])
                 )
-            except Exception:
-                print(f"Problems writing: {info}", file=sys.stderr)
+            except Exception as err:  # malformed entry: skip it, keep exporting
+                print(
+                    f"skipping tissue entry {idx}={info!r}: {err}",
+                    file=sys.stderr,
+                )
         tissues.create_dataset("bkg_rgbo", dtype=float, data=np.array([0, 0, 0, 0.5]))
         tissues.create_dataset("version", dtype=np.int32, data=np.array([0]))
 

@@ -28,33 +28,40 @@ def _split_glob(pattern: Path) -> Tuple[Path, str, str]:
     return root, rel, suffix
 
 
+def _glob_keyed(pattern: Path) -> Dict[str, Path]:
+    """Glob an absolute pattern and key each hit by its suffix-stripped name."""
+    root, rel, suffix = _split_glob(Path(pattern))
+    return {p.name.replace(suffix, ""): p for p in root.glob(rel)}
+
+
 def find_matching_files(
     input_globs: List[Path], verbose: bool = True
 ) -> List[List[Path]]:
     """Pair files across N glob patterns by shared stem.
 
-    The key for each file is its name with the glob's trailing suffix removed;
-    only complete tuples (one file per glob) are returned.
+    The key for each file is its name with the glob's trailing suffix removed.
+    The first pattern defines the key universe; only keys matched by every
+    pattern yield a tuple.
     """
-    root0, rel0, suffix0 = _split_glob(Path(input_globs[0]))
-    groups: Dict[str, List[Path]] = {
-        p.name.replace(suffix0, ""): [p] for p in root0.glob(rel0)
-    }
+    per_pattern = [_glob_keyed(p) for p in input_globs]
+    anchor = per_pattern[0]
 
-    for pattern in input_globs[1:]:
-        root_i, rel_i, suffix_i = _split_glob(Path(pattern))
-        for p in root_i.glob(rel_i):
-            key = p.name.replace(suffix_i, "")
-            if key in groups:
-                groups[key].append(p)
-            elif verbose:
-                print(f"No match found for {key} : {p}")
-
-    complete = [paths for paths in groups.values() if len(paths) == len(input_globs)]
     if verbose:
-        print(f"Number of files in {input_globs[0]}: {len(groups)}")
-        print(f"Number of tuples: {len(complete)}\n")
-    return complete
+        for hits in per_pattern[1:]:
+            for key in sorted(set(hits) - set(anchor)):
+                print(f"dropping {hits[key]}: key {key!r} has no anchor file")
+
+    tuples = [
+        [hits[key] for hits in per_pattern]
+        for key in anchor
+        if all(key in hits for hits in per_pattern)
+    ]
+    if verbose:
+        print(
+            f"{len(tuples)} complete tuple(s) from {len(anchor)} anchor file(s) "
+            f"across {len(input_globs)} pattern(s)"
+        )
+    return tuples
 
 
 class FileIterator:

@@ -118,10 +118,8 @@ def test_mismatched_suffix_not_paired(tmp_path):
 
 
 def test_check_matching_filenames_negative(tmp_path):
-    ds = PairedDataSet()
-    ds._train_files = [
-        {"image": Path("img/a.nii.gz"), "label": Path("lbl/b.nii.gz")}
-    ]
-    ds._val_files = []
+    ds = PairedDataSet.from_files(
+        training=[{"image": Path("img/a.nii.gz"), "label": Path("lbl/b.nii.gz")}]
+    )
     with pytest.raises(RuntimeError):
         ds.check_matching_filenames()
