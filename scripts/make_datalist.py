@@ -79,6 +79,13 @@ def main(
         data_config["test"] = [str(im) for im, _ in test]
 
     datalist_path.write_text(json.dumps(data_config, indent=2))
+    n_cases = sum(len(data_config[k]) for k in ("training", "validation", "test"))
+    if n_cases == 0:
+        click.echo(
+            "warning: no image/label pairs matched — check that --image-dir/"
+            "--labels-dir are relative to --data-dir and the globs are right",
+            err=True,
+        )
     click.echo(f"wrote {datalist_path}")
 
 

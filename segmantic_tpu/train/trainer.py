@@ -24,6 +24,7 @@ import dataclasses
 import json
 import math
 import time
+import warnings
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -148,7 +149,14 @@ class SegmentationModel:
     @staticmethod
     def load(path: Path) -> "SegmentationModel":
         ckpt = load_checkpoint(path)
-        h = ckpt["hparams"]
+        h = dict(ckpt.get("hparams") or {})
+        # legacy sidecar settings: a <ckpt>.json next to the checkpoint holds
+        # the model hyperparameters and takes precedence over in-file hparams
+        # (reference: src/segmantic/seg/monai_unet.py:564-569)
+        sidecar = Path(path).with_suffix(".json")
+        if sidecar.exists():
+            warnings.warn(f"loading legacy model settings from {sidecar}")
+            h.update(json.loads(sidecar.read_text()))
         model = SegmentationModel.create(
             num_classes=h["num_classes"],
             num_channels=h.get("num_channels", 1),
@@ -181,6 +189,25 @@ class TrainResult:
     best_val_epoch: int
     history: List[Dict[str, float]]
     model: SegmentationModel
+
+
+def _make_tb_writer(output_dir: Path):
+    """TensorBoard writer for ``output_dir/logs``, or None with a warning.
+
+    The reference always logs scalars (reference:
+    src/segmantic/seg/monai_unet.py:502); a missing tensorboardX must not
+    silently drop them.
+    """
+    try:
+        from tensorboardX import SummaryWriter
+
+        return SummaryWriter(logdir=str(Path(output_dir) / "logs"))
+    except Exception as err:
+        warnings.warn(
+            f"tensorboardX unavailable ({err}) — scalar logs will only go to "
+            "history.json and the console"
+        )
+        return None
 
 
 def _resolve_num_classes(
@@ -418,13 +445,7 @@ def train(
     scheduler = LRScheduler(optimizer_cfg["lr"], scheduler_cfg)
 
     # --- logging -----------------------------------------------------------
-    writer = None
-    try:
-        from tensorboardX import SummaryWriter
-
-        writer = SummaryWriter(logdir=str(output_dir / "logs"))
-    except Exception:
-        pass
+    writer = _make_tb_writer(output_dir)
 
     ckpts = TopKCheckpoints(output_dir, k=3)
     steps_per_epoch = max(1, math.ceil(len(train_cache) / batch_size))

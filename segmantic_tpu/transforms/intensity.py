@@ -154,12 +154,52 @@ def interp1d(x: np.ndarray, xp: np.ndarray, fp: np.ndarray) -> np.ndarray:
     return (fp[idx] + slopes[idx] * (x - xp[idx])).astype(np.float32)
 
 
+def interp1d_device(x, xp, fp):
+    """Device twin of :func:`interp1d`: jittable piecewise-linear interp with
+    linear extrapolation beyond the landmark range (reference has parallel
+    torch+numpy paths: src/segmantic/seg/nyul_normalize.py:10-78)."""
+    import jax.numpy as jnp
+
+    x = x.astype(jnp.float32)
+    xp = jnp.asarray(xp, jnp.float32)
+    fp = jnp.asarray(fp, jnp.float32)
+    slopes = jnp.diff(fp) / jnp.maximum(jnp.diff(xp), 1e-12)
+    idx = jnp.clip(jnp.searchsorted(xp, x, side="right") - 1, 0, xp.shape[0] - 2)
+    return fp[idx] + slopes[idx] * (x - xp[idx])
+
+
+def nyul_apply_device(data, quantiles, standard_scale, nonzero_mask: bool = False):
+    """Jittable Nyul standardization of one volume given a fitted scale.
+
+    Landmarks are computed on device (``nanquantile`` over the nonzero mask
+    when requested) and the volume is remapped with extrapolating interp.
+    """
+    import jax.numpy as jnp
+
+    data = data.astype(jnp.float32)
+    q = jnp.asarray(quantiles, jnp.float32)
+    if nonzero_mask:
+        masked = jnp.where(data != 0, data, jnp.nan)
+        landmarks = jnp.nanquantile(masked.ravel(), q)
+        # all-zero volume: fall back to plain quantiles to avoid NaN landmarks
+        landmarks = jnp.where(
+            jnp.isnan(landmarks), jnp.quantile(data.ravel(), q), landmarks
+        )
+    else:
+        landmarks = jnp.quantile(data.ravel(), q)
+    out = interp1d_device(data.ravel(), landmarks, standard_scale).reshape(data.shape)
+    if nonzero_mask:
+        out = jnp.where(data != 0, out, data)
+    return out
+
+
 class NyulNormalize(MapTransform):
     """Piecewise-linear intensity standardization to a learned standard scale.
 
     ``fit()`` over a set of volumes learns mean quantile landmarks; __call__
     maps each volume's landmarks onto the standard scale (with linear
     extrapolation outside), optionally over the nonzero mask / per channel.
+    jax arrays take the on-device path (:func:`nyul_apply_device`).
     """
 
     def __init__(
@@ -194,6 +234,14 @@ class NyulNormalize(MapTransform):
         marks = [self._landmarks(v.numpy().astype(np.float32)) for v in volumes]
         self.standard_scale = np.mean(np.stack(marks), axis=0)
         return self
+
+    def normalize_device(self, data):
+        """On-device (jax) standardization of one array; jit-friendly."""
+        if self.standard_scale is None:
+            raise RuntimeError("NyulNormalize.fit() must be called before use")
+        return nyul_apply_device(
+            data, self.quantiles, self.standard_scale, self.nonzero_mask
+        )
 
     def _normalize_array(self, data: np.ndarray) -> np.ndarray:
         if self.standard_scale is None:

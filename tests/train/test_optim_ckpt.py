@@ -108,3 +108,48 @@ def test_last_ckpt_written_and_resumable(tmp_path: Path):
     back = load_checkpoint(tmp_path / "last.ckpt")
     assert back["metrics"]["epoch"] == 5
     assert back["hparams"]["num_classes"] == 2
+
+
+def test_legacy_sidecar_json_settings(tmp_path: Path):
+    """A <ckpt>.json next to the checkpoint overrides in-file hparams
+    (reference: src/segmantic/seg/monai_unet.py:564-569)."""
+    import json
+    import warnings
+
+    from segmantic_tpu.train.trainer import SegmentationModel
+
+    model = SegmentationModel.create(
+        num_classes=2, spatial_dims=2, channels=(4, 8), strides=(2,), num_res_units=1
+    )
+    p = tmp_path / "model.ckpt"
+    save_checkpoint(p, model.variables, dict(model.hparams, num_res_units=999))
+    sidecar = p.with_suffix(".json")
+    sidecar.write_text(json.dumps({"num_res_units": 1}))
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        loaded = SegmentationModel.load(p)
+    assert any("legacy model settings" in str(w.message) for w in caught)
+    assert loaded.module.num_res_units == 1
+
+
+def test_tensorboard_missing_warns(monkeypatch, tmp_path: Path):
+    """A missing tensorboardX must warn, not silently drop scalar logs."""
+    import builtins
+    import warnings
+
+    from segmantic_tpu.train.trainer import _make_tb_writer
+
+    real_import = builtins.__import__
+
+    def block_tbx(name, *args, **kwargs):
+        if name.startswith("tensorboardX"):
+            raise ImportError("tensorboardX blocked for test")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", block_tbx)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        writer = _make_tb_writer(tmp_path)
+    assert writer is None
+    assert any("tensorboardX unavailable" in str(w.message) for w in caught)

@@ -41,6 +41,24 @@ def test_nyul_requires_fit_or_scale():
         t({"image": Volume(data=np.ones((1, 4, 4, 4), np.float32))})
 
 
+def test_nyul_device_path_matches_host():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    data = rng.uniform(0, 80, (12, 12, 12)).astype(np.float32)
+    data[:3] = 0.0  # exercise the nonzero-mask branch
+
+    for nonzero in (False, True):
+        t = NyulNormalize(
+            keys="image", quantiles=np.linspace(0.01, 0.99, 9), nonzero_mask=nonzero
+        )
+        t.fit([Volume(data=data[None])])
+        host = t._normalize_array(data)
+        dev = np.asarray(jax.jit(t.normalize_device)(jnp.asarray(data)))
+        np.testing.assert_allclose(dev, host, atol=1e-2)
+
+
 def test_nyul_with_provided_scale():
     t = NyulNormalize(
         keys="image",
