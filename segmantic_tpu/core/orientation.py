@@ -1,19 +1,42 @@
-"""Anatomical orientation utilities (axis codes, reorientation to RAS).
+"""Anatomical orientation utilities (axis codes, reorientation, inversion).
 
-Replaces MONAI's ``Orientationd(axcodes="RAS")`` step of the preprocessing
+Replaces MONAI's ``Orientationd(axcodes=...)`` step of the preprocessing
 chain (reference: src/segmantic/seg/monai_unet.py:163) with explicit
-permute+flip derived from the affine. Pure numpy on host metadata; the
-actual data movement (transpose/flip) is cheap and XLA-fusable when applied
-on device.
+permute+flip derived from the affine — for any target axis codes and for
+both 2D and 3D volumes (a 2D slice's voxel axes may lie along any two of
+the three physical axes, e.g. a coronal slice is R/S). Pure numpy on host
+metadata; the actual data movement (transpose/flip) is cheap and
+XLA-fusable when applied on device.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import List, Sequence, Tuple, Union
 
 import numpy as np
 
 _AXIS_LABELS = (("L", "R"), ("P", "A"), ("I", "S"))  # negative, positive per RAS axis
+_CODE_TO_PHYS = {
+    code: (phys, sign)
+    for phys, (neg, pos) in enumerate(_AXIS_LABELS)
+    for code, sign in ((neg, -1), (pos, 1))
+}
+
+
+def parse_axcodes(codes: Union[str, Sequence[str]]) -> List[Tuple[int, int]]:
+    """Axis codes → list of (physical_axis, sign); e.g. 'RAS' → [(0,1),(1,1),(2,1)]."""
+    out: List[Tuple[int, int]] = []
+    seen = set()
+    for c in codes:
+        c = c.upper()
+        if c not in _CODE_TO_PHYS:
+            raise ValueError(f"unknown axis code {c!r} in {codes!r}")
+        phys, sign = _CODE_TO_PHYS[c]
+        if phys in seen:
+            raise ValueError(f"axis codes {codes!r} repeat a physical axis")
+        seen.add(phys)
+        out.append((phys, sign))
+    return out
 
 
 def io_orientation(affine: np.ndarray, ndim: int = 3) -> np.ndarray:
@@ -49,69 +72,106 @@ def io_orientation(affine: np.ndarray, ndim: int = 3) -> np.ndarray:
 def axcodes(affine: np.ndarray, ndim: int = 3) -> Tuple[str, ...]:
     """Axis codes like ('R','A','S') for each voxel axis."""
     orn = io_orientation(affine, ndim)
-    return tuple(
-        _AXIS_LABELS[int(p)][1 if s > 0 else 0] for p, s in orn
-    )
+    return tuple(_AXIS_LABELS[int(p)][1 if s > 0 else 0] for p, s in orn)
+
+
+def orientation_ops(
+    affine: np.ndarray, ndim: int, target: Union[str, Sequence[str]] = "RAS"
+) -> Tuple[List[int], List[int]]:
+    """The (perm, flips) taking a volume's voxel axes to ``target`` codes.
+
+    ``perm``: new voxel axis ``i`` takes old voxel axis ``perm[i]``.
+    ``flips``: new voxel axes to flip after the permutation.
+
+    For 2D volumes the target is restricted to the two physical axes the
+    slice actually spans, in target order — so ``"RAS"`` orients an axial
+    slice to R/A and a coronal slice to R/S.
+    """
+    orn = io_orientation(affine, ndim)
+    want = parse_axcodes(target)
+    present = {int(p): (v, int(s)) for v, (p, s) in enumerate(orn)}
+    ordered = [(q, t) for q, t in want if q in present]
+    if len(ordered) != ndim:
+        raise ValueError(
+            f"target axcodes {target!r} do not cover the volume's physical "
+            f"axes {sorted(present)} (ndim={ndim})"
+        )
+    perm: List[int] = []
+    flips: List[int] = []
+    for i, (q, t) in enumerate(ordered):
+        v, s = present[q]
+        perm.append(v)
+        if s != t:
+            flips.append(i)
+    return perm, flips
+
+
+def apply_orientation(
+    data: np.ndarray, affine: np.ndarray, perm: Sequence[int], flips: Sequence[int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Apply (perm, flips) to a channel-first array and its 4x4 affine."""
+    ndim = data.ndim - 1
+    if list(perm) != list(range(ndim)):
+        data = np.transpose(data, [0] + [int(p) + 1 for p in perm])
+    aff = np.asarray(affine, dtype=np.float64)
+    new_aff = np.eye(4, dtype=np.float64)
+    new_aff[:3, :3] = aff[:3, :3]
+    new_aff[:3, :ndim] = aff[:3, [int(p) for p in perm]]
+    new_aff[:3, 3] = aff[:3, 3]
+    for ax in flips:
+        n = data.shape[ax + 1]
+        data = np.flip(data, axis=ax + 1)
+        new_aff[:3, 3] = new_aff[:3, 3] + new_aff[:3, ax] * (n - 1)
+        new_aff[:3, ax] = -new_aff[:3, ax]
+    return np.ascontiguousarray(data), new_aff
+
+
+def invert_orientation(
+    data: np.ndarray,
+    perm: Sequence[int],
+    flips: Sequence[int],
+    original_affine: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Undo :func:`apply_orientation`: flip back, then inverse-permute."""
+    ndim = data.ndim - 1
+    if flips:
+        data = np.flip(data, axis=[int(f) + 1 for f in flips])
+    inv = np.argsort(np.asarray(perm))
+    if list(inv) != list(range(ndim)):
+        data = np.transpose(data, [0] + [int(i) + 1 for i in inv])
+    return np.ascontiguousarray(data), np.asarray(original_affine, dtype=np.float64)
+
+
+def reorient_to_axcodes(
+    data: np.ndarray, affine: np.ndarray, target: Union[str, Sequence[str]] = "RAS"
+) -> Tuple[np.ndarray, np.ndarray, List[int], List[int]]:
+    """Reorient a channel-first array + affine to ``target`` axis codes.
+
+    Returns (new_data, new_affine, perm, flips); the (perm, flips) pair is
+    what :func:`invert_orientation` needs for an exact inverse.
+    """
+    ndim = data.ndim - 1
+    perm, flips = orientation_ops(affine, ndim, target)
+    new_data, new_aff = apply_orientation(data, affine, perm, flips)
+    return new_data, new_aff, perm, flips
 
 
 def reorient_arrays_to_ras(
     data: np.ndarray, affine: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Reorient a channel-first array + affine so axis codes become RAS.
-
-    Works for 3 spatial dims (2D volumes are already plane-aligned and pass
-    through unchanged). Returns (new_data, new_affine).
-    """
-    ndim = data.ndim - 1
-    if ndim != 3:
-        return data, affine
-
-    orn = io_orientation(affine, ndim)
-
-    # 1) flip voxel axes with negative direction
-    flips = [int(v) + 1 for v, (p, s) in enumerate(orn) if s < 0]  # +1 for channel
-    new_data = np.flip(data, axis=flips) if flips else data
-
-    # affine update for flips: index i -> (n-1) - i on flipped axes
-    aff = np.asarray(affine, dtype=np.float64).copy()
-    for ax in flips:
-        v = ax - 1
-        n = data.shape[ax]
-        aff[:3, 3] = aff[:3, 3] + aff[:3, v] * (n - 1)
-        aff[:3, v] = -aff[:3, v]
-
-    # 2) permute voxel axes so voxel axis i maps to physical axis i
-    perm = [int(np.where(orn[:, 0] == p)[0][0]) for p in range(ndim)]
-    if perm != list(range(ndim)):
-        new_data = np.transpose(new_data, axes=[0] + [p + 1 for p in perm])
-        new_aff = np.eye(4, dtype=np.float64)
-        new_aff[:3, :3] = aff[:3, perm]
-        new_aff[:3, 3] = aff[:3, 3]
-        aff = new_aff
-
-    return np.ascontiguousarray(new_data), aff
+    """Reorient a channel-first array + affine so axis codes become RAS."""
+    new_data, new_aff, _, _ = reorient_to_axcodes(data, affine, "RAS")
+    return new_data, new_aff
 
 
 def inverse_orientation_op(
-    data: np.ndarray, affine: np.ndarray, original_affine: np.ndarray
+    data: np.ndarray,
+    affine: np.ndarray,
+    original_affine: np.ndarray,
+    target: Union[str, Sequence[str]] = "RAS",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Undo :func:`reorient_arrays_to_ras`: map a RAS-oriented array back to
-    the voxel axis order/signs of ``original_affine``."""
+    """Map an array oriented to ``target`` codes back to the voxel axis
+    order/signs of ``original_affine``."""
     ndim = data.ndim - 1
-    if ndim != 3:
-        return data, affine
-    orn = io_orientation(original_affine, ndim)
-    # forward did: flip negatives, then permute so axis i -> physical i.
-    # inverse: inverse-permute, then flip the same voxel axes.
-    perm = [int(np.where(orn[:, 0] == p)[0][0]) for p in range(ndim)]
-    # forward transpose satisfied new_axis[i] = old_axis[perm[i]]; undo via argsort
-    inv_perm = list(np.argsort(perm))
-    out = (
-        np.transpose(data, axes=[0] + [inv_perm[p] + 1 for p in range(ndim)])
-        if perm != list(range(ndim))
-        else data
-    )
-    flips = [int(v) + 1 for v, (p, s) in enumerate(orn) if s < 0]
-    if flips:
-        out = np.flip(out, axis=flips)
-    return np.ascontiguousarray(out), np.asarray(original_affine, dtype=np.float64)
+    perm, flips = orientation_ops(original_affine, ndim, target)
+    return invert_orientation(data, perm, flips, original_affine)

@@ -72,6 +72,19 @@ def _load() -> ctypes.CDLL:
         lib.extract_label_surface.argtypes = surface_sig
         lib.extract_label_surface_net.restype = ctypes.c_int64
         lib.extract_label_surface_net.argtypes = surface_sig
+        lib.extract_label_surface_mt.restype = ctypes.c_int64
+        lib.extract_label_surface_mt.argtypes = surface_sig
+        lib.decimate_mesh.restype = ctypes.c_int64
+        lib.decimate_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ]
         lib.surface_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
@@ -146,19 +159,24 @@ def extract_label_surface(
     affine: np.ndarray,
     label_id: int,
     smooth_iters: int = 10,
-    method: str = "surface_net",
+    method: str = "marching",
+    decimate: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the surface of ``labels == label_id`` as (verts, triangles).
 
-    method: 'surface_net' (naive surface nets — smooth, watertight, default)
-    or 'voxel' (blocky voxel-face quads).
+    method: 'marching' (marching tetrahedra — true isosurface triangle mesh,
+    default, the FlyingEdges stand-in), 'surface_net' (naive surface nets) or
+    'voxel' (blocky voxel-face quads). ``decimate`` is the fraction of
+    triangles to remove afterwards via quadric-error edge collapse
+    (vtkDecimatePro's target_reduction; reference:
+    scripts/visualize_label_surfaces.py:33-69).
     """
     lib = _load()
-    fn = (
-        lib.extract_label_surface_net
-        if method == "surface_net"
-        else lib.extract_label_surface
-    )
+    fn = {
+        "marching": lib.extract_label_surface_mt,
+        "surface_net": lib.extract_label_surface_net,
+        "voxel": lib.extract_label_surface,
+    }[method]
     labels = np.ascontiguousarray(np.squeeze(labels).astype(np.uint16))
     if labels.ndim != 3:
         raise ValueError("surface extraction expects a 3D label map")
@@ -183,7 +201,39 @@ def extract_label_surface(
     finally:
         lib.surface_free(verts_p)
         lib.surface_free(tris_p)
+    if decimate > 0.0:
+        verts, tris = decimate_mesh(verts, tris, decimate)
     return verts, tris
+
+
+def decimate_mesh(
+    verts: np.ndarray, tris: np.ndarray, reduction: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Remove ``reduction`` of the triangles by quadric-error edge collapse
+    (the vtkDecimatePro stand-in)."""
+    lib = _load()
+    verts = np.ascontiguousarray(verts, np.float32)
+    tris = np.ascontiguousarray(tris, np.int64)
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    tris_p = ctypes.POINTER(ctypes.c_int64)()
+    n_verts = ctypes.c_int64(0)
+    n_tris = lib.decimate_mesh(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(verts),
+        tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(tris),
+        ctypes.c_double(float(reduction)),
+        ctypes.byref(verts_p),
+        ctypes.byref(n_verts),
+        ctypes.byref(tris_p),
+    )
+    try:
+        out_v = np.ctypeslib.as_array(verts_p, shape=(n_verts.value, 3)).copy()
+        out_t = np.ctypeslib.as_array(tris_p, shape=(int(n_tris), 3)).copy()
+    finally:
+        lib.surface_free(verts_p)
+        lib.surface_free(tris_p)
+    return out_v, out_t
 
 
 def write_ply(path, verts: np.ndarray, tris: np.ndarray) -> None:

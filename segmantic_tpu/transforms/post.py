@@ -16,7 +16,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from ..core.orientation import inverse_orientation_op
+from ..core.orientation import inverse_orientation_op, invert_orientation
 from ..core.volume import Volume
 from ..io.nifti import write_volume
 from ..ops.resample import grid_matrix, resample_affine_np
@@ -107,7 +107,13 @@ class Invertd(MapTransform):
         kind = op["op"]
         nd = data.ndim - 1
         if kind == "orientation":
-            return inverse_orientation_op(data, affine, op["pre_affine"])
+            if "perm" in op:  # exact inverse from the recorded ops
+                return invert_orientation(
+                    data, op["perm"], op["flips"], op["pre_affine"]
+                )
+            return inverse_orientation_op(
+                data, affine, op["pre_affine"], op.get("axcodes", "RAS")
+            )
         if kind == "spacing":
             pre_affine = np.asarray(op["pre_affine"])
             pre_shape = tuple(op["pre_shape"])

@@ -39,22 +39,36 @@ class LoadImaged(MapTransform):
 
 
 class Orientationd(MapTransform):
-    """Reorient volumes to RAS axis codes (records inverse info)."""
+    """Reorient volumes to the target axis codes (records inverse info).
+
+    Any target codes are supported (LPS, AIR, ...) for 3D, and 2D volumes
+    are reoriented within the two physical axes their plane spans —
+    including flips encoded by negative-determinant 2D affines.
+    """
 
     def __init__(self, keys, axcodes: str = "RAS"):
         super().__init__(keys)
-        if axcodes != "RAS":
-            raise NotImplementedError("only RAS target orientation is supported")
+        parse_axcodes_validate = orient.parse_axcodes(axcodes)
+        if len(parse_axcodes_validate) != 3:
+            raise ValueError(f"axcodes must name 3 physical axes, got {axcodes!r}")
         self.axcodes = axcodes
 
     def __call__(self, sample: Sample) -> Sample:
         out = dict(sample)
         for key in self.present_keys(sample):
             vol: Volume = sample[key]
-            data, affine = orient.reorient_arrays_to_ras(vol.numpy(), vol.affine)
+            data, affine, perm, flips = orient.reorient_to_axcodes(
+                vol.numpy(), vol.affine, self.axcodes
+            )
             new = vol.with_data(data, affine)
             new.applied_ops.append(
-                {"op": "orientation", "pre_affine": vol.affine.copy()}
+                {
+                    "op": "orientation",
+                    "pre_affine": vol.affine.copy(),
+                    "axcodes": self.axcodes,
+                    "perm": list(perm),
+                    "flips": list(flips),
+                }
             )
             out[key] = new
         return out

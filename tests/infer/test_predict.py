@@ -102,3 +102,39 @@ def test_ensemble_modes(trained, tmp_path):
         assert len(saved) == 1 and saved[0].exists()
         pred = read_volume(saved[0])
         assert set(np.unique(pred.numpy())) <= {0, 1, 2}
+
+
+def test_predict_flipped_2d_affine_matches_physical(trained, tmp_path):
+    """A 2D image stored with a flipped (negative-determinant) affine must
+    predict the same physical segmentation as its unflipped twin, and the
+    saved output must land back on the flipped grid/affine exactly."""
+    from segmantic_tpu.infer.predict import predict
+
+    root, img_dir, lbl_dir, result = trained
+    orig = read_volume(img_dir / "c0.nii.gz")
+    data = orig.numpy()
+
+    # same physical content, voxel axis 0 reversed and affine flipped to match
+    flipped = data[:, ::-1, :].copy()
+    aff = orig.affine.copy()
+    aff[:3, 3] = aff[:3, 3] + aff[:3, 0] * (data.shape[1] - 1)
+    aff[:3, 0] = -aff[:3, 0]
+    flip_dir = tmp_path / "flip"
+    flip_dir.mkdir()
+    write_volume(flip_dir / "c0f.nii.gz", Volume(data=flipped, affine=aff))
+
+    out_a = tmp_path / "pred_a"
+    out_b = tmp_path / "pred_b"
+    predict(result.best_checkpoint, [img_dir / "c0.nii.gz"], output_dir=out_a,
+            save_confusion_plots=False)
+    predict(result.best_checkpoint, [flip_dir / "c0f.nii.gz"], output_dir=out_b,
+            save_confusion_plots=False)
+
+    pred_a = read_volume(next(out_a.rglob("*.nii.gz")))
+    pred_b = read_volume(next(out_b.rglob("*.nii.gz")))
+
+    # output B sits on the flipped input grid ...
+    assert pred_b.spatial_shape == orig.spatial_shape
+    np.testing.assert_allclose(pred_b.affine, aff, atol=1e-4)
+    # ... and equals output A once unflipped (identical physical prediction)
+    np.testing.assert_array_equal(pred_b.numpy()[:, ::-1, :], pred_a.numpy())

@@ -45,7 +45,9 @@ def test_native_resample_matches_numpy():
 def test_surface_extraction_cube():
     lbl = np.zeros((10, 10, 10), np.uint16)
     lbl[3:7, 3:7, 3:7] = 1
-    verts, tris = native.extract_label_surface(lbl, np.eye(4), 1, smooth_iters=0)
+    verts, tris = native.extract_label_surface(
+        lbl, np.eye(4), 1, smooth_iters=0, method="voxel"
+    )
     # 4x4x4 cube: 6 faces x 16 quads x 2 triangles
     assert len(tris) == 6 * 16 * 2
     assert len(verts) > 0
@@ -115,3 +117,79 @@ def test_native_resample_2d():
         got = native.resample_affine(data, m, (11, 12), order=order)
         want = resample_affine_np(data, m, (11, 12), order=order)
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def _mesh_stats(verts, tris):
+    from collections import Counter
+
+    directed = Counter()
+    for a, b, c in tris:
+        for u, v in ((a, b), (b, c), (c, a)):
+            directed[(u, v)] += 1
+    watertight = all(c == 1 for c in directed.values()) and all(
+        directed.get((v, u), 0) == 1 for (u, v) in directed
+    )
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    cross = np.cross(v1 - v0, v2 - v0)
+    area = 0.5 * np.linalg.norm(cross, axis=1).sum()
+    volume = abs((v0 * cross).sum() / 6.0)
+    return watertight, area, volume
+
+
+def test_marching_tetrahedra_sphere_quality():
+    """The triangle isosurface mesher must be watertight and recover the
+    analytic sphere area/volume far better than the voxel-face quads
+    (the FlyingEdges-quality requirement)."""
+    n = 32
+    g = np.mgrid[0:n, 0:n, 0:n]
+    r = np.sqrt(((g - (n - 1) / 2) ** 2).sum(0))
+    lbl = (r < 11).astype(np.uint16)
+
+    v_mc, t_mc = native.extract_label_surface(
+        lbl, np.eye(4), 1, smooth_iters=10, method="marching"
+    )
+    v_vox, t_vox = native.extract_label_surface(
+        lbl, np.eye(4), 1, smooth_iters=0, method="voxel"
+    )
+    wt, area, vol = _mesh_stats(v_mc, t_mc)
+    _, area_vox, _ = _mesh_stats(v_vox, t_vox)
+
+    true_area = 4 * np.pi * 11**2
+    true_vol = 4 / 3 * np.pi * 11**3
+    assert wt
+    assert abs(area - true_area) / true_area < 0.02
+    assert abs(vol - true_vol) / true_vol < 0.03
+    # voxel quads overestimate area by ~50%; marching must beat them clearly
+    assert abs(area - true_area) < 0.2 * abs(area_vox - true_area)
+
+
+def test_decimation_reduces_triangles_preserves_shape():
+    n = 32
+    g = np.mgrid[0:n, 0:n, 0:n]
+    r = np.sqrt(((g - (n - 1) / 2) ** 2).sum(0))
+    lbl = (r < 11).astype(np.uint16)
+    verts, tris = native.extract_label_surface(
+        lbl, np.eye(4), 1, smooth_iters=10, method="marching"
+    )
+    dv, dt = native.decimate_mesh(verts, tris, 0.8)
+    assert len(dt) <= 0.25 * len(tris)
+    wt, area, vol = _mesh_stats(dv, dt)
+    _, area0, vol0 = _mesh_stats(verts, tris)
+    assert wt
+    assert abs(area - area0) / area0 < 0.02
+    assert abs(vol - vol0) / vol0 < 0.02
+
+
+def test_marching_affine_applied():
+    lbl = np.zeros((8, 8, 8), np.uint16)
+    lbl[2:6, 2:6, 2:6] = 1
+    aff = np.diag([2.0, 1.0, 0.5, 1.0])
+    aff[:3, 3] = [10.0, -5.0, 1.0]
+    verts, tris = native.extract_label_surface(
+        lbl, aff, 1, smooth_iters=0, method="marching"
+    )
+    v_id, _ = native.extract_label_surface(
+        lbl, np.eye(4), 1, smooth_iters=0, method="marching"
+    )
+    expect = v_id * np.array([2.0, 1.0, 0.5]) + np.array([10.0, -5.0, 1.0])
+    np.testing.assert_allclose(np.sort(verts, axis=0), np.sort(expect, axis=0), atol=1e-5)
