@@ -179,7 +179,11 @@ class PatchSampler:
                 labels.append(_crop_with_pad(lbl, start, self.margin_size)[0])
         image_b = np.stack(images).astype(np.float32)  # (B, C, *margin)
         image_b = np.moveaxis(image_b, 1, -1)  # channel-last
-        label_b = np.stack(labels).astype(np.int32)
+        # compact wire dtype: labels travel host->device every step, and
+        # uint8 is lossless for <=256 classes (the train step casts to int32
+        # on device); 4x less transfer than int32
+        label_dtype = np.uint8 if self.num_classes <= 256 else np.int32
+        label_b = np.stack(labels).astype(label_dtype)
         return image_b, label_b
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

@@ -117,6 +117,57 @@ def _accumulate_weight(weight_acc, importance, starts):
     return jax.lax.fori_loop(0, starts.shape[0], body, weight_acc)
 
 
+_SCAN_CACHE: "weakref.WeakKeyDictionary" = None  # lazy-initialized below
+
+
+def _scanned_runner(predictor, roi, nd, pallas_on, c_pad, tile, n_classes):
+    """One jitted scan over full window chunks: gather → forward → blend.
+
+    Removes the per-chunk Python dispatch of the naive loop (large through
+    a remote-TPU tunnel, still measurable locally) — the whole volume's
+    full chunks become ONE device program. Cached per predictor (weak) and
+    per static config, so repeated volumes reuse the compilation.
+    """
+    global _SCAN_CACHE
+    import weakref
+
+    if _SCAN_CACHE is None:
+        _SCAN_CACHE = weakref.WeakKeyDictionary()
+    per_pred = _SCAN_CACHE.setdefault(predictor, {})
+    key = (tuple(roi), nd, pallas_on, c_pad, tile, n_classes)
+    if key in per_pred:
+        return per_pred[key]
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def run(volume, acc, wacc, chunks, importance):
+        def body(carry, chunk_starts):
+            acc_, wacc_ = carry
+            windows = _gather_windows(volume, chunk_starts, tuple(roi), nd)
+            logits = predictor(windows)
+            if pallas_on:
+                if logits.shape[-1] < c_pad:
+                    logits = jnp.pad(
+                        logits,
+                        [(0, 0)] * (logits.ndim - 1)
+                        + [(0, c_pad - logits.shape[-1])],
+                    )
+                acc_ = pallas_blend.accumulate_windows_pallas(
+                    acc_, logits, importance, chunk_starts, tile=tile
+                )
+                wacc_ = _accumulate_weight(wacc_, importance, chunk_starts)
+            else:
+                acc_, wacc_ = _accumulate(
+                    acc_, wacc_, logits, importance, chunk_starts
+                )
+            return (acc_, wacc_), None
+
+        (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), chunks)
+        return acc, wacc
+
+    per_pred[key] = run
+    return run
+
+
 def _pallas_enabled(use_pallas, nd: int, roi, n_classes: int) -> Tuple[bool, int]:
     if use_pallas is False:
         return False, n_classes
@@ -141,6 +192,7 @@ def sliding_window_inference(
     num_classes: Optional[int] = None,
     use_pallas="auto",
     mesh=None,
+    scan_chunks: bool = True,
 ) -> jax.Array:
     """Run tiled inference over an arbitrarily-sized volume.
 
@@ -232,7 +284,22 @@ def sliding_window_inference(
 
     all_starts = np.asarray(starts, np.int32)
     n = len(starts)
-    for i in range(0, n, sw_batch_size):
+
+    # full chunks run inside one jitted scan (no per-chunk host dispatch);
+    # the short tail chunk (if any) falls through to the Python loop below.
+    start_i = 0
+    n_full = n // sw_batch_size
+    if scan_chunks and mesh is None and n_full >= 1:
+        chunks = jnp.asarray(
+            all_starts[: n_full * sw_batch_size].reshape(n_full, sw_batch_size, nd)
+        )
+        run = _scanned_runner(
+            predictor, tuple(roi_size), nd, pallas_on, c_pad, tile, n_classes
+        )
+        acc, wacc = run(volume, acc, wacc, chunks, importance)
+        start_i = n_full * sw_batch_size
+
+    for i in range(start_i, n, sw_batch_size):
         chunk = all_starts[i : i + sw_batch_size]
         short = len(chunk) < sw_batch_size
         if short:  # pad to static batch, drop duplicate results before blending

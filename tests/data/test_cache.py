@@ -70,7 +70,8 @@ def test_patch_sampler_batches(files):
     img_b, lbl_b = sampler.sample_batch()
     assert img_b.shape == (6, 12, 12, 12, 1)  # margin 2 per side
     assert lbl_b.shape == (6, 12, 12, 12)
-    assert img_b.dtype == np.float32 and lbl_b.dtype == np.int32
+    # labels use the compact uint8 wire dtype for <=256 classes
+    assert img_b.dtype == np.float32 and lbl_b.dtype == np.uint8
     # class-balanced: centers (margin center voxel) are foreground
     centers = lbl_b[:, 6, 6, 6]
     assert np.all(centers > 0)

@@ -105,3 +105,23 @@ def test_mesh_rounds_sw_batch_to_devices():
     mesh = make_mesh()
     out = sliding_window_inference(vol, (8, 8), 3, predictor, mesh=mesh)
     np.testing.assert_allclose(np.asarray(out)[..., 0], 1.0, atol=1e-5)
+
+
+def test_scanned_chunks_match_python_loop():
+    """The jitted-scan chunk executor must be bit-identical to the
+    per-chunk Python loop (same grid, same blend)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    vol = rng.standard_normal((50, 44, 38, 1)).astype(np.float32)
+
+    def predictor(w):
+        return jnp.concatenate([w * 2.0, -w], axis=-1)
+
+    a = sliding_window_inference(
+        vol, (16, 16, 16), 3, predictor, overlap=0.25, scan_chunks=True
+    )
+    b = sliding_window_inference(
+        vol, (16, 16, 16), 3, predictor, overlap=0.25, scan_chunks=False
+    )
+    assert jnp.array_equal(a, b)
