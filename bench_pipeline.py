@@ -71,7 +71,7 @@ def main() -> None:
 
         sampler = PatchSampler(
             cache, patch_size=list(patch), batch_size=batch, num_samples=4,
-            margin=margin, seed=0,
+            margin=margin, seed=0, image_wire_dtype=jnp.bfloat16,
         )
         loader = PrefetchLoader(sampler)
 

@@ -136,8 +136,10 @@ class PatchSampler:
         ratios: Optional[Sequence[float]] = None,
         margin: int = 0,
         seed: int = 0,
+        image_wire_dtype=np.float32,
     ):
         self.cache = cache
+        self.image_wire_dtype = image_wire_dtype
         self.patch_size = list(patch_size)
         self.margin = margin
         self.margin_size = [p + 2 * margin for p in self.patch_size]
@@ -177,7 +179,9 @@ class PatchSampler:
                 ]
                 images.append(_crop_with_pad(img, start, self.margin_size))
                 labels.append(_crop_with_pad(lbl, start, self.margin_size)[0])
-        image_b = np.stack(images).astype(np.float32)  # (B, C, *margin)
+        # image_wire_dtype=bfloat16 halves H2D transfer when the train step
+        # computes in bf16 anyway (the step re-upcasts for augmentation)
+        image_b = np.stack(images).astype(self.image_wire_dtype)  # (B, C, *margin)
         image_b = np.moveaxis(image_b, 1, -1)  # channel-last
         # compact wire dtype: labels travel host->device every step, and
         # uint8 is lossless for <=256 classes (the train step casts to int32

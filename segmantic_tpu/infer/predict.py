@@ -92,7 +92,7 @@ def predict(
         image = np.moveaxis(sample["image"].numpy(), 0, -1)
         logits = sliding_window_inference(
             image, roi, sw_batch_size, predictor, overlap=overlap, mode="gaussian",
-            mesh=mesh,
+            num_classes=num_classes, mesh=mesh,
         )
         logits = np.moveaxis(np.asarray(logits), -1, 0)  # (C, *spatial)
 

@@ -28,6 +28,34 @@ def _center(n: int) -> float:
     return (n - 1) / 2.0
 
 
+def _interp_matrix(pos: jax.Array, n_in: int, order: int) -> jax.Array:
+    """Banded interpolation matrix W with W[..., o, u] the weight of input
+    sample u for output position o (rows of out-of-range positions are 0).
+
+    Turning the 1D resample into a matmul keeps the augmentation on the MXU
+    instead of the gather unit — gathers are the slowest memory pattern on
+    TPU, and a (144,144) banded matmul per line is ~an order of magnitude
+    faster than the row-gather formulation at these sizes.
+    """
+    if order == 0:
+        idx = jnp.round(pos).astype(jnp.int32)
+        valid = (idx >= 0) & (idx <= n_in - 1)
+        w = jax.nn.one_hot(jnp.clip(idx, 0, n_in - 1), n_in, dtype=jnp.float32)
+        return w * valid[..., None]
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+    frac = (pos - lo.astype(jnp.float32))[..., None]
+    valid = ((pos >= 0) & (pos <= n_in - 1))[..., None]
+    w = jax.nn.one_hot(lo, n_in, dtype=jnp.float32) * (1.0 - frac)
+    w = w + jax.nn.one_hot(lo + 1, n_in, dtype=jnp.float32) * frac
+    return w * valid
+
+
+def _restore_dtype(out: jax.Array, dtype) -> jax.Array:
+    if jnp.issubdtype(dtype, jnp.integer):
+        return jnp.rint(out).astype(dtype)
+    return out.astype(dtype)
+
+
 def shear_pass(
     x: jax.Array, a_axis: int, b_axis: int, s: jax.Array, order: int
 ) -> jax.Array:
@@ -50,32 +78,18 @@ def shear_pass(
         jnp.arange(na, dtype=jnp.float32)[:, None] - s.astype(jnp.float32) * b_rel[None, :]
     )  # (NA, NB): input a-coordinate per output line
 
-    flat = xt.reshape(c, na * nb, -1)  # rows are contiguous in memory
-    col = jnp.arange(nb, dtype=jnp.int32)[None, :]
-
-    if order == 0:
-        idx = jnp.round(pos).astype(jnp.int32)
-        valid = (idx >= 0) & (idx <= na - 1)
-        lin = (jnp.clip(idx, 0, na - 1) * nb + col).reshape(-1)
-        rows = jnp.take(flat, lin, axis=1).reshape(c, na, nb, -1)
-        out = jnp.where(valid[None, :, :, None], rows, 0.0)
-    else:
-        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, na - 2)
-        frac = pos - lo.astype(jnp.float32)
-        valid = (pos >= 0) & (pos <= na - 1)
-        lin_lo = (lo * nb + col).reshape(-1)
-        lin_hi = ((lo + 1) * nb + col).reshape(-1)
-        rows_lo = jnp.take(flat, lin_lo, axis=1).reshape(c, na, nb, -1)
-        rows_hi = jnp.take(flat, lin_hi, axis=1).reshape(c, na, nb, -1)
-        w = frac[None, :, :, None]
-        out = rows_lo * (1.0 - w) + rows_hi * w
-        out = jnp.where(valid[None, :, :, None], out, 0.0)
+    # per-b banded matmul on the MXU: out[c,o,b,r] = sum_u W[b,o,u] x[c,u,b,r]
+    w = _interp_matrix(pos.T, na, order)  # (NB, NA_out, NA_in)
+    xf = xt.reshape(c, na, nb, -1).astype(jnp.float32)
+    out = jnp.einsum(
+        "bou,cubr->cobr", w, xf, precision=jax.lax.Precision.HIGHEST
+    )
 
     out = out.reshape((c, na, nb) + rest_shape)
     inv = [0] * x.ndim
     for i, p in enumerate(perm):
         inv[p] = i
-    return jnp.transpose(out, inv).astype(x.dtype)
+    return _restore_dtype(jnp.transpose(out, inv), x.dtype)
 
 
 def scale_pass(x: jax.Array, axis: int, zoom: jax.Array, order: int) -> jax.Array:
@@ -90,22 +104,15 @@ def scale_pass(x: jax.Array, axis: int, zoom: jax.Array, order: int) -> jax.Arra
     pos = (jnp.arange(n, dtype=jnp.float32) - _center(n)) / zoom.astype(
         jnp.float32
     ) + _center(n)
-    if order == 0:
-        idx = jnp.round(pos).astype(jnp.int32)
-        valid = (idx >= 0) & (idx <= n - 1)
-        rows = jnp.take(flat, jnp.clip(idx, 0, n - 1), axis=1)
-        out = jnp.where(valid[None, :, None], rows, 0.0)
-    else:
-        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
-        frac = (pos - lo.astype(jnp.float32))[None, :, None]
-        valid = (pos >= 0) & (pos <= n - 1)
-        out = jnp.take(flat, lo, axis=1) * (1.0 - frac) + jnp.take(
-            flat, lo + 1, axis=1
-        ) * frac
-        out = jnp.where(valid[None, :, None], out, 0.0)
+    # single banded matmul: out[c,o,r] = sum_u W[o,u] x[c,u,r]
+    w = _interp_matrix(pos, n, order)  # (N_out, N_in)
+    out = jnp.einsum(
+        "ou,cur->cor", w, flat.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     out = out.reshape(xt.shape)
-    return jnp.moveaxis(out, 1, a1).astype(x.dtype)
+    return _restore_dtype(jnp.moveaxis(out, 1, a1), x.dtype)
 
 
 def rotate_pass(

@@ -240,6 +240,8 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
     optax update; donates params/opt_state to avoid HBM copies."""
 
     def step(params, batch_stats, opt_state, image, label, key):
+        # wire dtypes may be compact (bf16 image / uint8 label); augment in f32
+        image = image.astype(jnp.float32)
         image, label = augment_batch(image, label, key, aug_cfg, tuple(patch_size))
         if mixed_precision:
             image = image.astype(jnp.bfloat16)
@@ -429,6 +431,8 @@ def train(
         num_samples=num_samples,
         margin=margin,
         seed=seed,
+        # bf16 wire halves H2D bytes; the step upcasts before augmentation
+        image_wire_dtype=jnp.bfloat16 if mixed_precision else np.float32,
     )
 
     host_augment = build_pipeline(augmentation)  # user-config path (host)
