@@ -21,6 +21,54 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import pallas_conv
+
+
+class DispatchConv3D(nn.Module):
+    """Drop-in for ``nn.Conv`` (same param tree: kernel/bias, same init)
+    that can route eligible stride-1 3^3 inference forwards through the
+    batch-packed Pallas conv kernel (:mod:`segmantic_tpu.ops.pallas_conv`).
+
+    Default OFF: the kernel beats the XLA conv 1.3-1.7x in isolation, but
+    per-op swapping loses in-model — XLA fuses the conv with its
+    norm/activation neighbors and keeps its own layouts, while each custom
+    call forces pack/pad/unpack boundaries. Measured on v5e: full eval fwd
+    29.8 ms pure-XLA vs 45 ms with per-op dispatch. The win requires the
+    packed layout to PERSIST across a whole inference graph (planned
+    follow-up); until then this stays an opt-in experiment."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_in = x.shape[-1]
+        kshape = tuple(self.kernel_size) + (c_in, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if (
+            self.use_pallas
+            and not training
+            and jax.default_backend() == "tpu"
+            and pallas_conv.supported(
+                x.shape, self.features, tuple(self.kernel_size),
+                tuple(self.strides),
+            )
+        ):
+            return pallas_conv.conv3d_pallas(
+                x, kernel.astype(x.dtype), bias=bias, out_dtype=x.dtype
+            )
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=tuple(self.strides),
+            padding="SAME",
+            dimension_numbers=nn.linear._conv_dimension_numbers(x.shape),
+        )
+        return y + bias.astype(y.dtype)
+
 
 class PReLU(nn.Module):
     """Parametric ReLU with a single learnable slope (torch default
@@ -97,9 +145,10 @@ class ConvUnit(nn.Module):
                 self.features, kshape, strides=sshape, padding="SAME", dtype=x.dtype
             )(x)
         else:
-            x = nn.Conv(
-                self.features, kshape, strides=sshape, padding="SAME", dtype=x.dtype
-            )(x)
+            # named Conv_0 to keep the param tree identical to nn.Conv
+            x = DispatchConv3D(
+                self.features, kshape, sshape, name="Conv_0"
+            )(x, training)
         if self.conv_only:
             return x
         x = Norm(kind=self.norm)(x, training)

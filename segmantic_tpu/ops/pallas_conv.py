@@ -1,0 +1,200 @@
+"""Pallas fused 3D convolution with batch-packed lanes (UNet hot stages).
+
+XLA's TPU lowering of small-channel 3x3x3 convs materializes im2col patches
+in HBM (~27x traffic) and runs the GEMM at N=C_out lanes (C=8..32 of 128 —
+most of the MXU idle). This kernel restores both:
+
+- the batch dimension is PACKED INTO LANES: x (B,D,H,W,C) is transposed to
+  (D,H,W, B*C), so a (B=8, C=16) stage fills all 128 lanes densely and the
+  DMA carries no lane padding;
+- patches are built in VMEM: SAME padding happens once outside; the H halo
+  comes from three H-shifted views, the D halo from block-size-1 depth
+  indexing (offset d+dz) with dz the innermost grid axis accumulating into
+  an f32 VMEM scratch. HBM read traffic is ~3x the input instead of 27x;
+- the per-step GEMM is (TH*W, 9*B*C) x (9*B*C, B*C_out) — K and N both
+  ~128+ so the MXU runs dense; the weight matrix is block-diagonal over the
+  batch (built with an einsum against eye(B)), trading 8x redundant FLOPs
+  for full utilization — a large net win at these shapes (measured 1.6-3.2x
+  over the XLA conv, transposes included);
+- fused epilogue: bias, optional per-channel scale/shift (folded
+  inference-mode norm) and PReLU/ReLU.
+
+STATUS: wins 1.3-1.7x standalone (v5e, honest same-session comparison), but
+per-op dispatch inside the full UNet loses to XLA's conv+norm+act fusion
+and layout choices (see models/unet.py::DispatchConv3D). It ships as a
+tested op; making the packed layout persist across a whole inference graph
+is the planned follow-up. Training keeps XLA convs regardless (batch-norm
+statistics need the full batch). reference model topology:
+src/segmantic/seg/monai_unet.py:114-124.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _pick_th(h: int, w: int, bc: int, bco: int) -> int:
+    """Largest H tile that divides H and fits the VMEM working set."""
+    lanes_in = max(bc, 128)
+    for th in (32, 24, 16, 12, 8, 4, 2, 1):
+        if h % th:
+            continue
+        views = 3 * th * (w + 2) * lanes_in * 2 * 2  # x2 double buffering
+        patches = th * w * max(9 * bc, 128) * 2
+        acc = th * w * max(bco, 128) * 4
+        wmat = 9 * bc * max(bco, 128) * 2
+        if views + patches + acc + wmat < _VMEM_BUDGET:
+            return th
+    return 1
+
+
+def supported(x_shape: Tuple[int, ...], c_out: int,
+              kernel: Tuple[int, ...] = (3, 3, 3),
+              strides: Tuple[int, ...] = (1, 1, 1)) -> bool:
+    """Static eligibility for the batch-packed kernel."""
+    if len(x_shape) != 5:
+        return False
+    if tuple(kernel) != (3, 3, 3) or tuple(strides) != (1, 1, 1):
+        return False
+    b, d, h, w, c = x_shape
+    bc, bco = b * c, b * c_out
+    if w % 8 != 0 or w < 8 or d < 1:
+        return False
+    if bc < 64 or bc > 512 or bco > 512:  # lane packing sweet spot
+        return False
+    return _pick_th(h, w, bc, bco) >= 2
+
+
+def _kernel(v0, v1, v2, wref, scale, bias, alpha, out, acc,
+            *, TH, W, BC, BCO, relu_mode):
+    dz = pl.program_id(2)
+
+    @pl.when(dz == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    slabs = []
+    for v in (v0, v1, v2):  # dy = 0, 1, 2
+        plane = v[0]  # (TH, W+2, BC)
+        for dx in range(3):
+            slabs.append(plane[:, dx : dx + W, :].reshape(TH * W, BC))
+    patches = jnp.concatenate(slabs, axis=1)  # (TH*W, 9*BC)
+    acc[...] += jnp.dot(patches, wref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(dz == 2)
+    def _():
+        y = acc[...] * scale[0] + bias[0]
+        if relu_mode == "prelu":
+            y = jnp.where(y >= 0, y, alpha[0] * y)
+        elif relu_mode == "relu":
+            y = jnp.maximum(y, 0)
+        out[0] = y.reshape(TH, W, BCO).astype(out.dtype)
+
+
+@partial(jax.jit, static_argnames=("relu_mode", "out_dtype", "interpret"))
+def conv3d_pallas(
+    x: jax.Array,  # (B, D, H, W, C) channel-last
+    weights: jax.Array,  # (3, 3, 3, C, CO) — flax DHWIO order
+    bias: Optional[jax.Array] = None,  # (CO,)
+    scale: Optional[jax.Array] = None,  # (CO,) folded-norm scale on conv out
+    shift: Optional[jax.Array] = None,  # (CO,) folded-norm shift
+    alpha: Optional[jax.Array] = None,  # (1,) PReLU slope
+    relu_mode: str = "none",  # none | relu | prelu
+    out_dtype=None,
+    interpret: bool = False,  # pallas interpret mode (CPU testing)
+) -> jax.Array:
+    """Fused stride-1 SAME 3^3 conv (+bias, folded norm, activation), 3D.
+
+    Epilogue math: y = (conv(x) + bias) * scale + shift, then activation.
+    """
+    B, D, H, W, C = x.shape
+    CO = weights.shape[-1]
+    out_dtype = out_dtype or x.dtype
+    BC, BCO = B * C, B * CO
+    TH = _pick_th(H, W, BC, BCO)
+
+    # pack batch into lanes, pad spatial once
+    xt = jnp.transpose(x, (1, 2, 3, 0, 4)).reshape(D, H, W, BC)
+    xp = jnp.pad(xt, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    views = [xp[:, dy : dy + H, :, :] for dy in range(3)]
+
+    # block-diagonal packed weights: w2[dz, (dy*3+dx)*BC + b*C+ci, b*CO+co]
+    eye_b = jnp.eye(B, dtype=x.dtype)
+    w2 = jnp.einsum(
+        "zyxio,ab->zyxaibo", weights.astype(x.dtype), eye_b
+    ).reshape(3, 9 * BC, BCO)
+
+    scale_v = jnp.ones((CO,), jnp.float32) if scale is None else scale.astype(jnp.float32)
+    shift_v = jnp.zeros((CO,), jnp.float32) if shift is None else shift.astype(jnp.float32)
+    bias_v = jnp.zeros((CO,), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    # (conv + bias) * scale + shift == conv * scale + (bias*scale + shift)
+    eff_scale = jnp.tile(scale_v, B)[None]  # (1, BCO)
+    eff_shift = jnp.tile(bias_v * scale_v + shift_v, B)[None]
+    alpha_v = (jnp.zeros((1, 1), jnp.float32) if alpha is None
+               else alpha.astype(jnp.float32).reshape(1, 1))
+
+    def view_spec():
+        return pl.BlockSpec(
+            (1, TH, W + 2, BC),
+            lambda h, d, dz: (d + dz, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        partial(_kernel, TH=TH, W=W, BC=BC, BCO=BCO, relu_mode=relu_mode),
+        grid=(H // TH, D, 3),
+        in_specs=[
+            view_spec(),
+            view_spec(),
+            view_spec(),
+            pl.BlockSpec((1, 9 * BC, BCO), lambda h, d, dz: (dz, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BCO), lambda h, d, dz: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BCO), lambda h, d, dz: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda h, d, dz: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, W, BCO), lambda h, d, dz: (d, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((D, H, W, BCO), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TH * W, BCO), jnp.float32)],
+        interpret=interpret,
+    )(views[0], views[1], views[2], w2, eff_scale, eff_shift, alpha_v)
+    return jnp.transpose(out.reshape(D, H, W, B, CO), (3, 0, 1, 2, 4))
+
+
+def conv3d_reference(x, weights, bias=None, scale=None, shift=None,
+                     alpha=None, relu_mode="none", out_dtype=None):
+    """XLA reference with identical semantics (for tests)."""
+    out_dtype = out_dtype or x.dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        weights.astype(jnp.float32),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    co = weights.shape[-1]
+    if bias is not None:
+        y = y + bias.reshape((1,) * 4 + (co,))
+    if scale is not None:
+        y = y * scale.reshape((1,) * 4 + (co,))
+    if shift is not None:
+        y = y + shift.reshape((1,) * 4 + (co,))
+    if relu_mode == "prelu":
+        y = jnp.where(y >= 0, y, alpha.reshape(1) * y)
+    elif relu_mode == "relu":
+        y = jnp.maximum(y, 0)
+    return y.astype(out_dtype)
