@@ -71,6 +71,38 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, sharding)
 
 
+def shard_params(mesh: Mesh, params: Any, min_features: int = 64) -> Any:
+    """Tensor-parallel parameter placement over the mesh's 'model' axis.
+
+    Conv/dense kernels whose OUTPUT-feature axis (last dim) is wide enough
+    and divisible by the model-axis size are sharded over 'model'; matching
+    1-D vectors (bias, norm scale/shift, batch stats) shard likewise;
+    everything else replicates. With a model axis of 1 this degrades to
+    plain replication. XLA inserts the all-gathers/reduce-scatters implied
+    by mixing sharded weights with batch-sharded activations — the
+    Megatron-style recipe without manual collectives (SURVEY.md §2.9;
+    the reference's only parallelism is a Lightning GPU list,
+    src/segmantic/seg/monai_unet.py:529-538).
+    """
+    n_model = mesh.shape["model"]
+
+    def placement(x):
+        x = np.asarray(x) if not hasattr(x, "ndim") else x
+        if (
+            n_model > 1
+            and x.ndim >= 1
+            and x.shape[-1] >= min_features
+            and x.shape[-1] % n_model == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1) + ["model"]))
+            return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, placement(x)), params
+    )
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a pytree of host arrays with the batch axis sharded over
     'data' (per-host loaders feed their local shard; replaces DDP samplers)."""
