@@ -204,6 +204,15 @@ def sliding_window_inference(
     parallelism — SURVEY.md §2.9); windows are independent, so results are
     identical to single-device execution.
     """
+    # huge volumes (accumulators would not fit HBM): stream from host DRAM
+    n_cls_est = num_classes if num_classes else 8
+    est_bytes = int(np.prod(volume.shape[: len(roi_size)])) * 4 * (n_cls_est + 2)
+    if mesh is None and isinstance(volume, np.ndarray) and est_bytes > 8 << 30:
+        return sliding_window_inference_streamed(
+            volume, roi_size, sw_batch_size, predictor,
+            overlap=overlap, mode=mode, num_classes=num_classes,
+        )
+
     if mesh is not None:
         from ..parallel.mesh import batch_sharding
 
@@ -319,6 +328,72 @@ def sliding_window_inference(
         acc, wacc = flush(acc, wacc, logits, chunk)
 
     out = acc[..., :n_classes] / wacc
+    sl = tuple(slice(lo[a], lo[a] + spatial[a]) for a in range(nd)) + (slice(None),)
+    return out[sl]
+
+
+def sliding_window_inference_streamed(
+    volume: np.ndarray,  # (*spatial, C) HOST array
+    roi_size: Sequence[int],
+    sw_batch_size: int,
+    predictor: Callable,
+    overlap: float = 0.25,
+    mode: str = "gaussian",
+    num_classes: Optional[int] = None,
+) -> np.ndarray:
+    """Sliding-window inference for volumes too large for HBM.
+
+    The volume and both accumulators stay in HOST memory; only each window
+    batch travels to the device (and its logits back). Device memory use is
+    O(sw_batch * roi) regardless of volume size — the large-volume strategy
+    SURVEY.md §7 calls for ("host-DRAM cache streaming"). Same grid and
+    Gaussian blend as :func:`sliding_window_inference` (MONAI semantics).
+    """
+    volume = np.asarray(volume)
+    nd = len(roi_size)
+    spatial = volume.shape[:nd]
+
+    pad = [max(roi_size[a] - spatial[a], 0) for a in range(nd)]
+    lo = [p // 2 for p in pad]
+    if any(pad):
+        widths = [(lo[a], pad[a] - lo[a]) for a in range(nd)] + [(0, 0)]
+        volume = np.pad(volume, widths)
+    padded = volume.shape[:nd]
+
+    starts = window_starts(padded, roi_size, overlap)
+    if mode == "gaussian":
+        importance = gaussian_importance(roi_size)
+    else:
+        importance = np.ones(tuple(roi_size), np.float32)
+
+    if num_classes is None:
+        probe = predictor(
+            jnp.asarray(
+                volume[tuple(slice(0, r) for r in roi_size)][None]
+            )
+        )
+        num_classes = int(np.asarray(probe).shape[-1])
+
+    acc = np.zeros(tuple(padded) + (num_classes,), np.float32)
+    wacc = np.zeros(tuple(padded) + (1,), np.float32)
+    imp = importance[..., None]
+
+    n = len(starts)
+    for i in range(0, n, sw_batch_size):
+        chunk = starts[i : i + sw_batch_size]
+        windows = np.stack(
+            [
+                volume[tuple(slice(s[a], s[a] + roi_size[a]) for a in range(nd))]
+                for s in chunk
+            ]
+        )
+        logits = np.asarray(predictor(jnp.asarray(windows)), np.float32)
+        for j, s in enumerate(chunk):
+            sl = tuple(slice(s[a], s[a] + roi_size[a]) for a in range(nd))
+            acc[sl] += logits[j] * imp
+            wacc[sl] += imp
+
+    out = acc / wacc
     sl = tuple(slice(lo[a], lo[a] + spatial[a]) for a in range(nd)) + (slice(None),)
     return out[sl]
 

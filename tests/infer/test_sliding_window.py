@@ -125,3 +125,37 @@ def test_scanned_chunks_match_python_loop():
         vol, (16, 16, 16), 3, predictor, overlap=0.25, scan_chunks=False
     )
     assert jnp.array_equal(a, b)
+
+
+def test_streamed_matches_device_path():
+    """Host-streamed inference (for volumes beyond HBM) must match the
+    on-device path on the same grid/blend."""
+    from segmantic_tpu.infer.sliding_window import (
+        sliding_window_inference_streamed,
+    )
+
+    rng = np.random.default_rng(5)
+    vol = rng.standard_normal((40, 36, 30, 1)).astype(np.float32)
+
+    def predictor(w):
+        return jnp.concatenate([w * 3.0, w * -0.5], axis=-1)
+
+    dev = np.asarray(
+        sliding_window_inference(vol, (16, 16, 16), 4, predictor, overlap=0.25)
+    )
+    host = sliding_window_inference_streamed(
+        vol, (16, 16, 16), 4, predictor, overlap=0.25
+    )
+    np.testing.assert_allclose(host, dev, atol=1e-4)
+
+
+def test_streamed_small_volume_padding():
+    from segmantic_tpu.infer.sliding_window import (
+        sliding_window_inference_streamed,
+    )
+
+    vol = np.random.default_rng(6).standard_normal((10, 9, 8, 1)).astype(np.float32)
+    out = sliding_window_inference_streamed(
+        vol, (16, 16, 16), 2, lambda w: w, overlap=0.25
+    )
+    assert out.shape == (10, 9, 8, 1)
