@@ -1,0 +1,93 @@
+"""On-TPU training-quality check: multi-class 3D phantom → val Dice.
+
+Synthesizes an ellipsoid+box phantom dataset (noise sigma 0.3), runs the
+production train() with FULL fused augmentation in bf16 on the real TPU,
+and prints the best validation Dice. Round-1 scored 0.97 in 25 epochs;
+rerun after any augmentation/model change to confirm learning quality.
+    python exp/train_quality.py [--epochs 25]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def synth_case(rng, shape=(64, 64, 64)):
+    """3-class phantom: noisy background, bright ellipsoid, dark box."""
+    lbl = np.zeros(shape, np.uint8)
+    g = np.mgrid[tuple(slice(0, s) for s in shape)].astype(np.float32)
+
+    c = rng.uniform(0.3, 0.7, 3) * np.asarray(shape)
+    radii = rng.uniform(8, 14, 3)
+    ell = (((g[0] - c[0]) / radii[0]) ** 2 + ((g[1] - c[1]) / radii[1]) ** 2
+           + ((g[2] - c[2]) / radii[2]) ** 2) < 1.0
+    lbl[ell] = 1
+
+    b0 = rng.integers(4, 20, 3)
+    bs = rng.integers(10, 18, 3)
+    box = tuple(slice(int(b0[a]), int(b0[a] + bs[a])) for a in range(3))
+    lbl[box] = 2
+
+    img = (lbl == 1) * 1.5 + (lbl == 2) * -1.5 + rng.normal(0, 0.3, shape)
+    return img.astype(np.float32), lbl
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--cases", type=int, default=8)
+    args = ap.parse_args()
+
+    from segmantic_tpu.core.volume import Volume, affine_from_spacing_origin
+    from segmantic_tpu.io.nifti import write_volume
+    from segmantic_tpu.train.trainer import train
+
+    rng = np.random.default_rng(0)
+    aff = affine_from_spacing_origin((1.0, 1.0, 1.0))
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td)
+        (root / "image").mkdir()
+        (root / "label").mkdir()
+        for i in range(args.cases):
+            img, lbl = synth_case(rng)
+            write_volume(root / "image" / f"c{i}.nii.gz", Volume(data=img[None], affine=aff))
+            write_volume(root / "label" / f"c{i}.nii.gz",
+                         Volume(data=lbl[None], affine=aff.copy()))
+
+        result = train(
+            image_dir=root / "image",
+            labels_dir=root / "label",
+            output_dir=root / "run",
+            num_classes=3,
+            spatial_dims=3,
+            spatial_size=(32, 32, 32),
+            channels=(16, 32, 64),
+            strides=(2, 2),
+            max_epochs=args.epochs,
+            batch_size=2,
+            num_samples=4,
+            mixed_precision=True,
+            augment_spatial=True,
+            augment_intensity=True,
+            optimizer={"optimizer": "Adam", "lr": 1e-3},
+            val_roi_size=(64, 64, 64),
+            seed=0,
+        )
+        print(f"RESULT best_val_dice={result.best_val_dice:.4f} "
+              f"epoch={result.best_val_epoch}")
+
+
+if __name__ == "__main__":
+    main()

@@ -213,6 +213,23 @@ def ensemble_predict_cmd(
     )
 
 
+@app.command("serve")
+@click.option("--model-file", "-m", type=click.Path(path_type=Path), required=True,
+              help="trained checkpoint to serve")
+@click.option("--host", type=str, default="127.0.0.1")
+@click.option("--port", type=int, default=8765)
+@click.option("--spacing", type=float, multiple=True, default=(),
+              help="resample to this spacing before inference")
+@click.option("--sw-batch-size", type=int, default=4)
+@click.option("--overlap", type=float, default=0.25)
+def serve_cmd(model_file: Path, host: str, port: int, spacing, sw_batch_size, overlap):
+    """Serve the model over HTTP: POST NIfTI to /v1/segment."""
+    from ..serve import serve
+
+    serve(model_file, host=host, port=port, spacing=list(spacing),
+          sw_batch_size=sw_batch_size, overlap=overlap)
+
+
 def main() -> None:
     # test/CI hook: force a jax platform even when the environment's
     # sitecustomize pins one (env JAX_PLATFORMS alone can be overridden)

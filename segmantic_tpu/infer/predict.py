@@ -35,6 +35,51 @@ class CaseResult:
     metrics: Optional[Dict[str, np.ndarray]] = None
 
 
+def segment_volume(
+    model: SegmentationModel,
+    image,  # Path or Volume
+    *,
+    val_forward=None,
+    pre=None,
+    spacing: Sequence[float] = (),
+    sw_batch_size: int = 4,
+    overlap: float = 0.25,
+    mesh=None,
+):
+    """Segment ONE image: preprocess → sliding window → invert → argmax.
+
+    The per-case core of :func:`predict`, reusable by the serving endpoint.
+    Returns (pred_label Volume on the original grid, preprocessed sample).
+    """
+    if val_forward is None:
+        val_forward = make_val_forward(model.module)
+    raw = image if isinstance(image, dict) else {"image": image}
+    if pre is None:
+        pre = default_preprocessing(list(raw.keys()), spacing)
+    sample = pre(raw)
+
+    variables = model.variables
+
+    def predictor(windows):
+        return val_forward(variables, windows)
+
+    img = np.moveaxis(sample["image"].numpy(), 0, -1)
+    logits = sliding_window_inference(
+        img, model.spatial_size, sw_batch_size, predictor, overlap=overlap,
+        mode="gaussian", num_classes=model.num_classes, mesh=mesh,
+    )
+    logits = np.moveaxis(np.asarray(logits), -1, 0)  # (C, *spatial)
+
+    # invert on logits (linear), then argmax — reference order
+    pred_vol = sample["image"].with_data(logits.astype(np.float32))
+    pred_vol.applied_ops = []
+    work = dict(sample)
+    work["pred"] = pred_vol
+    work = TP.Invertd(keys="pred", ref_key="image", nearest=False)(work)
+    work = TP.AsDiscreted(keys="pred", argmax=True)(work)
+    return work["pred"], sample
+
+
 def predict(
     model_file: Path,
     test_images: List[Path],
@@ -58,9 +103,7 @@ def predict(
     """
     model = SegmentationModel.load(Path(model_file))
     num_classes = model.num_classes
-    roi = model.spatial_size
     val_forward = make_val_forward(model.module)
-    variables = model.variables
 
     have_labels = test_labels is not None and len(test_labels) == len(test_images)
     keys = ["image", "label"] if have_labels else ["image"]
@@ -76,37 +119,23 @@ def predict(
             if 0 <= idx < num_classes:
                 tissue_names[idx] = name
 
-    def predictor(windows):
-        return val_forward(variables, windows)
-
     results: List[CaseResult] = []
     all_case_dices: List[float] = []
     total_cm = np.zeros((num_classes, num_classes), np.int64)
 
     for case_i, image_path in enumerate(test_images):
-        sample = {"image": Path(image_path)}
+        raw = {"image": Path(image_path)}
         if have_labels:
-            sample["label"] = Path(test_labels[case_i])
-        sample = pre(sample)
-
-        image = np.moveaxis(sample["image"].numpy(), 0, -1)
-        logits = sliding_window_inference(
-            image, roi, sw_batch_size, predictor, overlap=overlap, mode="gaussian",
-            num_classes=num_classes, mesh=mesh,
+            raw["label"] = Path(test_labels[case_i])
+        pred, sample = segment_volume(
+            model, raw, val_forward=val_forward, pre=pre,
+            sw_batch_size=sw_batch_size, overlap=overlap, mesh=mesh,
         )
-        logits = np.moveaxis(np.asarray(logits), -1, 0)  # (C, *spatial)
-
-        # invert on logits (linear), then argmax — reference order
-        pred_vol = sample["image"].with_data(logits.astype(np.float32))
-        pred_vol.applied_ops = []
-        work = dict(sample)
-        work["pred"] = pred_vol
-        work = TP.Invertd(keys="pred", ref_key="image", nearest=False)(work)
-        work = TP.AsDiscreted(keys="pred", argmax=True)(work)
-        pred = work["pred"]
 
         saved_to = None
         if output_dir:
+            work = dict(sample)
+            work["pred"] = pred
             TP.SaveImaged(
                 keys="pred", output_dir=output_dir, output_postfix="", ref_key="image"
             )(work)
