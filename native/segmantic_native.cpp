@@ -1022,3 +1022,102 @@ int64_t decimate_mesh(const float* verts_in, int64_t n_verts,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multithreaded patch cropper for the training data loader: extracts a BATCH
+// of margin patches from a cached channel-first volume, fusing the
+// zero-pad + channel-last transpose + dtype cast (f32 or bf16 wire) that the
+// Python path does in four single-threaded numpy passes. Host-side analogue
+// of the reference's CacheDataset+RandCropByLabelClasses hot loop
+// (reference: src/segmantic/seg/monai_unet.py:264-290).
+
+namespace {
+
+inline uint16_t f32_to_bf16(float v) {
+  uint32_t bits;
+  std::memcpy(&bits, &v, 4);
+  // round-to-nearest-even on the truncated mantissa
+  const uint32_t rounding = 0x7FFF + ((bits >> 16) & 1);
+  return static_cast<uint16_t>((bits + rounding) >> 16);
+}
+
+}  // namespace
+
+extern "C" {
+
+// image: (C, S0, S1, S2) float32, label: (S0, S1, S2) int32 (labels < 256)
+// starts: (B, 3) int64 (may be out of bounds -> zero pad)
+// img_out: (B, O0, O1, O2, C) float32 or bf16(uint16) when to_bf16
+// lbl_out: (B, O0, O1, O2) uint8
+void crop_patches_3d(const float* img, const int32_t* lbl,
+                     const int64_t* shape, int64_t channels,
+                     const int64_t* starts, int64_t batch,
+                     const int64_t* out_size, int to_bf16, void* img_out,
+                     uint8_t* lbl_out) {
+  const int64_t S0 = shape[0], S1 = shape[1], S2 = shape[2];
+  const int64_t O0 = out_size[0], O1 = out_size[1], O2 = out_size[2];
+  const int64_t vol = S0 * S1 * S2;
+  const int64_t patch = O0 * O1 * O2;
+
+  parallel_for(batch, [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      const int64_t z0 = starts[3 * b], y0 = starts[3 * b + 1],
+                    x0 = starts[3 * b + 2];
+      float* fo = static_cast<float*>(img_out) + b * patch * channels;
+      uint16_t* ho = static_cast<uint16_t*>(img_out) + b * patch * channels;
+      uint8_t* lo_out = lbl_out ? lbl_out + b * patch : nullptr;
+
+      for (int64_t z = 0; z < O0; ++z) {
+        const int64_t sz = z0 + z;
+        const bool z_in = sz >= 0 && sz < S0;
+        for (int64_t y = 0; y < O1; ++y) {
+          const int64_t sy = y0 + y;
+          const bool row_in = z_in && sy >= 0 && sy < S1;
+          const int64_t row_base = (z * O1 + y) * O2;
+          if (!row_in) {
+            if (to_bf16)
+              std::memset(ho + row_base * channels, 0,
+                          sizeof(uint16_t) * O2 * channels);
+            else
+              std::memset(fo + row_base * channels, 0,
+                          sizeof(float) * O2 * channels);
+            if (lo_out) std::memset(lo_out + row_base, 0, O2);
+            continue;
+          }
+          // in-bounds x-range [cx0, cx1)
+          const int64_t cx0 = std::max<int64_t>(x0, 0);
+          const int64_t cx1 = std::min<int64_t>(x0 + O2, S2);
+          const int64_t d0 = cx0 - x0;            // leading pad
+          const int64_t n = std::max<int64_t>(cx1 - cx0, 0);
+          const int64_t src_row = (sz * S1 + sy) * S2;
+
+          for (int64_t c = 0; c < channels; ++c) {
+            const float* src = img + c * vol + src_row + cx0;
+            if (to_bf16) {
+              uint16_t* dst = ho + row_base * channels + c;
+              for (int64_t x = 0; x < d0; ++x) dst[x * channels] = 0;
+              for (int64_t x = 0; x < n; ++x)
+                dst[(d0 + x) * channels] = f32_to_bf16(src[x]);
+              for (int64_t x = d0 + n; x < O2; ++x) dst[x * channels] = 0;
+            } else {
+              float* dst = fo + row_base * channels + c;
+              for (int64_t x = 0; x < d0; ++x) dst[x * channels] = 0.0f;
+              for (int64_t x = 0; x < n; ++x) dst[(d0 + x) * channels] = src[x];
+              for (int64_t x = d0 + n; x < O2; ++x) dst[x * channels] = 0.0f;
+            }
+          }
+          if (lo_out) {
+            const int32_t* lsrc = lbl + src_row + cx0;
+            uint8_t* ldst = lo_out + row_base;
+            for (int64_t x = 0; x < d0; ++x) ldst[x] = 0;
+            for (int64_t x = 0; x < n; ++x)
+              ldst[d0 + x] = static_cast<uint8_t>(lsrc[x]);
+            for (int64_t x = d0 + n; x < O2; ++x) ldst[x] = 0;
+          }
+        }
+      }
+    }
+  });
+}
+
+}  // extern "C"

@@ -165,20 +165,30 @@ class PatchSampler:
         return list(np.unravel_index(pick, vol.spatial_shape))
 
     def sample_batch(self) -> Tuple[np.ndarray, np.ndarray]:
-        images, labels = [], []
         nd = len(self.patch_size)
-        while len(images) < self.batch_size:
+        picks: List[Tuple[CachedVolume, List[int]]] = []
+        while len(picks) < self.batch_size:
             vol = self.cache[self.rng.integers(len(self.cache))]
-            take = min(self.num_samples, self.batch_size - len(images))
-            img = vol.image.numpy()
-            lbl = vol.label.numpy()
+            take = min(self.num_samples, self.batch_size - len(picks))
             for _ in range(take):
                 center = self._sample_center(vol)
                 start = [
                     center[a] - self.margin_size[a] // 2 for a in range(nd)
                 ]
-                images.append(_crop_with_pad(img, start, self.margin_size))
-                labels.append(_crop_with_pad(lbl, start, self.margin_size)[0])
+                picks.append((vol, start))
+
+        # multithreaded C++ crop+pack when eligible (identical output)
+        if nd == 3 and self.num_classes <= 256 and self._native_ok(picks):
+            return self._sample_batch_native(picks)
+
+        images, labels = [], []
+        for vol, start in picks:
+            images.append(
+                _crop_with_pad(vol.image.numpy(), start, self.margin_size)
+            )
+            labels.append(
+                _crop_with_pad(vol.label.numpy(), start, self.margin_size)[0]
+            )
         # image_wire_dtype=bfloat16 halves H2D transfer when the train step
         # computes in bf16 anyway (the step re-upcasts for augmentation)
         image_b = np.stack(images).astype(self.image_wire_dtype)  # (B, C, *margin)
@@ -189,6 +199,47 @@ class PatchSampler:
         label_dtype = np.uint8 if self.num_classes <= 256 else np.int32
         label_b = np.stack(labels).astype(label_dtype)
         return image_b, label_b
+
+    @staticmethod
+    def _native_ok(picks) -> bool:
+        from .. import native
+
+        if not native.available():
+            return False
+        return all(
+            v.image.numpy().dtype == np.float32
+            and v.label is not None
+            and np.issubdtype(v.label.numpy().dtype, np.integer)
+            for v, _ in picks
+        )
+
+    def _sample_batch_native(self, picks) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused C++ pad+crop+transpose+cast, multithreaded over the batch
+        (the CacheDataset hot-loop analogue); output identical to the numpy
+        path — per-volume runs preserve batch order."""
+        from .. import native
+
+        to_bf16 = np.dtype(self.image_wire_dtype).itemsize == 2
+        img_parts, lbl_parts = [], []
+        i = 0
+        while i < len(picks):
+            vol = picks[i][0]
+            j = i
+            starts = []
+            while j < len(picks) and picks[j][0] is vol:
+                starts.append(picks[j][1])
+                j += 1
+            img, lbl = native.crop_patches_3d(
+                vol.image.numpy(),
+                vol.label.numpy()[0],
+                np.asarray(starts, np.int64),
+                self.margin_size,
+                to_bf16=to_bf16,
+            )
+            img_parts.append(img)
+            lbl_parts.append(lbl)
+            i = j
+        return np.concatenate(img_parts), np.concatenate(lbl_parts)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         while True:

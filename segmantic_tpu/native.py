@@ -86,6 +86,18 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
         ]
         lib.surface_free.argtypes = [ctypes.c_void_p]
+        lib.crop_patches_3d.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return lib
 
@@ -254,3 +266,49 @@ def write_ply(path, verts: np.ndarray, tris: np.ndarray) -> None:
     for t in tris:
         lines.append(f"3 {t[0]} {t[1]} {t[2]}")
     Path(path).write_text("\n".join(lines) + "\n")
+
+
+def crop_patches_3d(
+    image: np.ndarray,  # (C, S0, S1, S2) float32
+    label: Optional[np.ndarray],  # (S0, S1, S2) int (labels < 256) or None
+    starts: np.ndarray,  # (B, 3) int64
+    out_size: Sequence[int],
+    to_bf16: bool = False,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Multithreaded batched margin-patch crop (zero pad, channel-last,
+    fused dtype cast). Returns (images (B, *out, C) f32|bf16,
+    labels (B, *out) uint8 or None)."""
+    import ml_dtypes
+
+    lib = _load()
+    image = np.ascontiguousarray(image, np.float32)
+    c = image.shape[0]
+    starts = np.ascontiguousarray(starts, np.int64)
+    b = len(starts)
+    out_sz = tuple(int(s) for s in out_size)
+
+    img_dtype = ml_dtypes.bfloat16 if to_bf16 else np.float32
+    img_out = np.empty((b,) + out_sz + (c,), img_dtype)
+    if label is not None:
+        label = np.ascontiguousarray(label, np.int32)
+        lbl_out = np.empty((b,) + out_sz, np.uint8)
+        lbl_ptr = lbl_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        lbl_src = label.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        lbl_out = None
+        lbl_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        lbl_src = ctypes.POINTER(ctypes.c_int32)()
+
+    lib.crop_patches_3d(
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lbl_src,
+        _as_i64(image.shape[1:]),
+        c,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b,
+        _as_i64(out_sz),
+        1 if to_bf16 else 0,
+        img_out.ctypes.data_as(ctypes.c_void_p),
+        lbl_ptr,
+    )
+    return img_out, lbl_out

@@ -98,3 +98,44 @@ def test_prefetch_loader(files):
             assert img_b.shape[0] == 2
     finally:
         loader.stop()
+
+
+def test_native_cropper_matches_python_path():
+    """The C++ batched cropper must be bit-identical to the numpy path
+    (both wire dtypes), including zero padding at volume borders."""
+    import jax.numpy as jnp
+
+    from segmantic_tpu import native
+    from segmantic_tpu.core.volume import Volume
+    from segmantic_tpu.data.cache import CachedVolume, PatchSampler
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((1, 30, 28, 26)).astype(np.float32)
+    lbl = rng.integers(0, 4, (1, 30, 28, 26)).astype(np.int32)
+    cv = CachedVolume({"image": Volume(data=img), "label": Volume(data=lbl)}, 4)
+
+    class OneVolCache:
+        num_classes = 4
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return cv
+
+    for wire in (np.float32, jnp.bfloat16):
+        kw = dict(patch_size=[16, 16, 16], batch_size=6, num_samples=3,
+                  margin=8, seed=3, image_wire_dtype=wire)
+        s_native = PatchSampler(OneVolCache(), **kw)
+        s_python = PatchSampler(OneVolCache(), **kw)
+        s_python._native_ok = staticmethod(lambda picks: False)
+        i1, l1 = s_native.sample_batch()
+        i2, l2 = s_python.sample_batch()
+        assert i1.dtype == i2.dtype and l1.dtype == l2.dtype
+        np.testing.assert_array_equal(
+            np.asarray(i1, np.float32), np.asarray(i2, np.float32)
+        )
+        np.testing.assert_array_equal(l1, l2)
