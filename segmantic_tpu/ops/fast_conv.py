@@ -1,0 +1,265 @@
+"""Space-to-depth conv reformulations for tiny-channel UNet stages.
+
+XLA's TPU convolutions place channels in the 128-wide lane dimension; the
+top of a segmentation UNet (in_channels=1 stems, num_classes~8 heads,
+stride-2 up/down at full resolution) runs at <10% lane occupancy and, for
+strided/transposed forms, materializes zero-dilated intermediates. Measured
+on v5e (exp/bwd_probe.py, 8x96^3 bf16 flagship): the three tiny-C stages
+cost ~70 ms of the 155 ms fwd+bwd while holding <5% of the FLOPs.
+
+This module rewrites those convs — losslessly, autodiff-friendly, pure
+XLA — onto half-resolution grids where 2x2x2 spatial blocks are folded
+into channels (space-to-depth), so the lanes are 8x denser and no dilated
+zeros are ever materialized:
+
+- ``s2d_conv``: stride-2 kernel-3 SAME conv  ==  kernel-2 conv at half
+  resolution over the space-to-depth input (exact; XLA-SAME pad (0,1)).
+- ``subpixel_conv_transpose``: stride-2 kernel-3 SAME conv_transpose ==
+  kernel-2 conv at input resolution producing 2^nd phase-expanded output
+  channels, then depth-to-space (the classic subpixel/PixelShuffle
+  factorization, here matched bit-for-bit to ``lax.conv_transpose``'s
+  SAME padding).
+- ``s2d_conv_s1``: stride-1 kernel-3 SAME conv over C<=8 at high
+  resolution == kernel-3 conv at half resolution between space-to-depth
+  phases (8x redundant FLOPs through structurally-zero weight slots, but
+  8x denser lanes). STATUS: measured 0.90x on v5e (exp/fastconv_ab.py) —
+  XLA's im2col patch materialization dominates regardless of lane density,
+  so this variant is NOT routed by the model; stride-1 tiny-C stages go
+  through the Pallas batch-packed kernel instead (ops/pallas_conv.py).
+
+Measured v5e wins (exp/fastconv_ab.py, 8x96^3 bf16 flagship, fwd+dx+dw):
+s2d stem 1->16 @96^3: 16.2 -> 10.1 ms (1.61x); subpixel convT 32->8
+@48->96: 17.4 -> 15.6 ms (1.12x, grads 8.1 -> 5.2 ms). Wider convT stages
+lose to the native lowering, hence the tight eligibility gates.
+
+The weight expansions are single einsums against tiny constant 0/1
+selection tensors, so parameters stay in the ordinary flax DHWIO layout
+and gradients flow through the einsum (dw is automatically the collapsed
+sum over the structural slots).
+
+reference: the stages being accelerated implement the MONAI UNet topology
+of src/segmantic/seg/monai_unet.py:114-124; numerics are tested against
+``lax.conv_general_dilated``/``lax.conv_transpose`` directly.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "s2d_conv",
+    "s2d_conv_s1",
+    "subpixel_conv_transpose",
+    "s2d_eligible",
+    "s2d_s1_eligible",
+    "subpixel_eligible",
+]
+
+
+@lru_cache(maxsize=None)
+def _sel_fwd() -> np.ndarray:
+    """S[a, p_in, t] for stride-2 k3 SAME: tap t hits block a, phase p_in.
+
+    y[d] = sum_t w[t] * x[2d + t]  (XLA SAME pad for k=3,s=2,even size is
+    (lo,hi)=(0,1)); position 2d+t lives in block d + t//2, phase t%2.
+    """
+    s = np.zeros((2, 2, 3), np.float32)
+    for t in range(3):
+        s[t // 2, t % 2, t] = 1.0
+    return s
+
+
+@lru_cache(maxsize=None)
+def _sel_transpose() -> np.ndarray:
+    """S[a, p_out, t] for stride-2 k3 SAME conv_transpose.
+
+    lax SAME padding for k=3,s=2 is (lo,hi)=(2,1) on the dilated input, so
+    y[2d]   = w[0]*x[d-1] + w[2]*x[d]
+    y[2d+1] = w[1]*x[d]
+    i.e. a kernel-2 conv over blocks (a=0 -> x[d-1], a=1 -> x[d], left pad 1).
+    """
+    s = np.zeros((2, 2, 3), np.float32)
+    s[0, 0, 0] = 1.0  # block d-1 contributes tap 0 to phase 0
+    s[1, 0, 2] = 1.0  # block d   contributes tap 2 to phase 0
+    s[1, 1, 1] = 1.0  # block d   contributes tap 1 to phase 1
+    return s
+
+
+@lru_cache(maxsize=None)
+def _sel_s1() -> np.ndarray:
+    """V[a, p_in, p_out, t] for stride-1 k3 SAME in block space.
+
+    y[2d+po] = sum_t w[t] * x[2d+po+t-1]; input position 2(d+a-1)+pi
+    matches tap t = 2a + pi - po - 1 when 0 <= t < 3.
+    """
+    v = np.zeros((3, 2, 2, 3), np.float32)
+    for a in range(3):
+        for pi in range(2):
+            for po in range(2):
+                t = 2 * a + pi - po - 1
+                if 0 <= t < 3:
+                    v[a, pi, po, t] = 1.0
+    return v
+
+
+def _space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, *S, C) -> (B, *S/2, 2^nd * C); phase-major channel order."""
+    nd = x.ndim - 2
+    b, c = x.shape[0], x.shape[-1]
+    sp = x.shape[1:-1]
+    shape = (b,) + sum(((s // 2, 2) for s in sp), ()) + (c,)
+    x = x.reshape(shape)
+    # (B, D/2, 2, H/2, 2, W/2, 2, C) -> (B, D/2, H/2, W/2, 2, 2, 2, C)
+    perm = (0,) + tuple(1 + 2 * i for i in range(nd)) + tuple(
+        2 + 2 * i for i in range(nd)) + (1 + 2 * nd,)
+    x = jnp.transpose(x, perm)
+    return x.reshape((b,) + tuple(s // 2 for s in sp) + (2**nd * c,))
+
+
+def _depth_to_space(x: jax.Array, c_out: int) -> jax.Array:
+    """(B, *S, 2^nd * C) -> (B, *2S, C); inverse of phase-major packing."""
+    nd = x.ndim - 2
+    b = x.shape[0]
+    sp = x.shape[1:-1]
+    x = x.reshape((b,) + tuple(sp) + (2,) * nd + (c_out,))
+    # (B, D, H, W, 2, 2, 2, C) -> (B, D, 2, H, 2, W, 2, C)
+    perm = (0,) + sum(((1 + i, 1 + nd + i) for i in range(nd)), ()) + (1 + 2 * nd,)
+    x = jnp.transpose(x, perm)
+    return x.reshape((b,) + tuple(2 * s for s in sp) + (c_out,))
+
+
+def _dn(nd: int):
+    spatial = "DHW"[-nd:] if nd <= 3 else None
+    if spatial is None:
+        raise ValueError("only 1-3 spatial dims supported")
+    return ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+
+
+def _expand_letters(nd: int):
+    taps = "tuv"[:nd]
+    blocks = "abc"[:nd]
+    return taps, blocks
+
+
+def s2d_eligible(x_shape, kernel, strides) -> bool:
+    nd = len(x_shape) - 2
+    if nd not in (2, 3):
+        return False
+    if tuple(kernel) != (3,) * nd or tuple(strides) != (2,) * nd:
+        return False
+    if any(s % 2 for s in x_shape[1:-1]):
+        return False
+    return x_shape[-1] <= 4  # tiny-C stems only: s2d wins by lane density
+
+
+def s2d_s1_eligible(x_shape, kernel, strides) -> bool:
+    nd = len(x_shape) - 2
+    if nd != 3:
+        return False
+    if tuple(kernel) != (3,) * nd or tuple(strides) != (1,) * nd:
+        return False
+    if any(s % 2 for s in x_shape[1:-1]):
+        return False
+    # 8x structurally-zero FLOPs only pay off at tiny C and big spatial
+    return x_shape[-1] <= 8 and min(x_shape[1:-1]) >= 64
+
+
+def subpixel_eligible(x_shape, c_out, kernel, strides) -> bool:
+    nd = len(x_shape) - 2
+    if nd not in (2, 3):
+        return False
+    if tuple(kernel) != (3,) * nd or tuple(strides) != (2,) * nd:
+        return False
+    # measured: only the narrow head (phase-expanded co <= 64) wins on v5e
+    return (2**nd) * c_out <= 64
+
+
+def s2d_conv(x: jax.Array, w: jax.Array, bias: jax.Array | None = None):
+    """Stride-2 kernel-3 SAME conv via space-to-depth (exact XLA-SAME match).
+
+    x: (B, *S, Ci) with even S; w: (*3^nd, Ci, Co). Returns (B, *S/2, Co).
+    """
+    nd = x.ndim - 2
+    ci, co = w.shape[-2], w.shape[-1]
+    taps, blocks = _expand_letters(nd)
+    phases = "PQR"[:nd]
+    sel = jnp.asarray(_sel_fwd(), w.dtype)
+    # wsub[a..., (p... i), o]
+    ein = (
+        f"{taps}io,"
+        + ",".join(f"{b}{p}{t}" for b, p, t in zip(blocks, phases, taps))
+        + f"->{blocks}{phases}io"
+    )
+    wsub = jnp.einsum(ein, w, *([sel] * nd))
+    wsub = wsub.reshape((2,) * nd + (2**nd * ci, co))
+    xb = _space_to_depth(x)
+    y = jax.lax.conv_general_dilated(
+        xb, wsub.astype(x.dtype), window_strides=(1,) * nd,
+        padding=((0, 1),) * nd, dimension_numbers=_dn(nd))
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def subpixel_conv_transpose(x: jax.Array, w: jax.Array,
+                            bias: jax.Array | None = None):
+    """Stride-2 kernel-3 SAME conv_transpose via subpixel phase expansion.
+
+    x: (B, *S, Ci); w: (*3^nd, Ci, Co). Returns (B, *2S, Co), bit-matching
+    ``lax.conv_transpose(padding="SAME", transpose_kernel=False)``.
+    """
+    nd = x.ndim - 2
+    ci, co = w.shape[-2], w.shape[-1]
+    taps, blocks = _expand_letters(nd)
+    phases = "PQR"[:nd]
+    sel = jnp.asarray(_sel_transpose(), w.dtype)
+    ein = (
+        f"{taps}io,"
+        + ",".join(f"{b}{p}{t}" for b, p, t in zip(blocks, phases, taps))
+        + f"->{blocks}i{phases}o"
+    )
+    wsub = jnp.einsum(ein, w, *([sel] * nd))
+    wsub = wsub.reshape((2,) * nd + (ci, 2**nd * co))
+    y = jax.lax.conv_general_dilated(
+        x, wsub.astype(x.dtype), window_strides=(1,) * nd,
+        padding=((1, 0),) * nd, dimension_numbers=_dn(nd))
+    y = _depth_to_space(y, co)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def s2d_conv_s1(x: jax.Array, w: jax.Array, bias: jax.Array | None = None):
+    """Stride-1 kernel-3 SAME conv for tiny C via block-space kernel-3 conv.
+
+    x: (B, *S, Ci) with even S; w: (*3^nd, Ci, Co). Returns (B, *S, Co).
+    Runs at half resolution with 2^nd-times denser channels; the expanded
+    weight tensor is 7/8 structural zeros (redundant MXU FLOPs traded for
+    dense lanes — gate with :func:`s2d_s1_eligible`).
+    """
+    nd = x.ndim - 2
+    ci, co = w.shape[-2], w.shape[-1]
+    taps, blocks = _expand_letters(nd)
+    pin, pout = "PQR"[:nd], "XYZ"[:nd]
+    sel = jnp.asarray(_sel_s1(), w.dtype)
+    # V[a, p_in, p_out, t] per dim; wsub[a..., (pi... i), (po... o)]
+    ein = (
+        f"{taps}io,"
+        + ",".join(f"{b}{i_}{o_}{t}" for b, i_, o_, t in
+                   zip(blocks, pin, pout, taps))
+        + f"->{blocks}{pin}i{pout}o"
+    )
+    wsub = jnp.einsum(ein, w, *([sel] * nd))
+    wsub = wsub.reshape((3,) * nd + (2**nd * ci, 2**nd * co))
+    xb = _space_to_depth(x)
+    y = jax.lax.conv_general_dilated(
+        xb, wsub.astype(x.dtype), window_strides=(1,) * nd,
+        padding=((1, 1),) * nd, dimension_numbers=_dn(nd))
+    y = _depth_to_space(y, co)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

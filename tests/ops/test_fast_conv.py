@@ -1,0 +1,94 @@
+"""Numeric equivalence of the space-to-depth conv rewrites vs lax convs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmantic_tpu.ops import fast_conv
+
+
+def _dn(nd):
+    sp = "DHW"[-nd:]
+    return ("N" + sp + "C", sp + "IO", "N" + sp + "C")
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.mark.parametrize("nd,ci,co,sp", [(3, 1, 5, 8), (3, 3, 4, 12), (2, 1, 7, 16)])
+def test_s2d_conv_matches_lax(nd, ci, co, sp):
+    k1, k2 = jax.random.split(jax.random.key(0))
+    x = _rand(k1, (2,) + (sp,) * nd + (ci,))
+    w = _rand(k2, (3,) * nd + (ci, co))
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(2,) * nd, padding="SAME",
+        dimension_numbers=_dn(nd))
+    got = fast_conv.s2d_conv(x, w)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nd,ci,co,sp", [(3, 4, 3, 8), (3, 2, 8, 10), (2, 3, 5, 14)])
+def test_subpixel_conv_transpose_matches_lax(nd, ci, co, sp):
+    k1, k2 = jax.random.split(jax.random.key(1))
+    x = _rand(k1, (2,) + (sp,) * nd + (ci,))
+    w = _rand(k2, (3,) * nd + (ci, co))
+    ref = jax.lax.conv_transpose(
+        x, w, strides=(2,) * nd, padding="SAME", dimension_numbers=_dn(nd))
+    got = fast_conv.subpixel_conv_transpose(x, w)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nd,ci,co,sp", [(3, 2, 6, 8), (3, 8, 8, 10), (2, 1, 4, 12)])
+def test_s2d_conv_s1_matches_lax(nd, ci, co, sp):
+    k1, k2 = jax.random.split(jax.random.key(2))
+    x = _rand(k1, (2,) + (sp,) * nd + (ci,))
+    w = _rand(k2, (3,) * nd + (ci, co))
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,) * nd, padding="SAME",
+        dimension_numbers=_dn(nd))
+    got = fast_conv.s2d_conv_s1(x, w)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bias_and_grads_flow():
+    k1, k2 = jax.random.split(jax.random.key(3))
+    x = _rand(k1, (1, 8, 8, 8, 2))
+    w = _rand(k2, (3, 3, 3, 2, 4))
+    b = jnp.arange(4, dtype=jnp.float32)
+
+    def loss(fn):
+        return lambda xx, ww: fn(xx, ww, b).sum()
+
+    for fn in (fast_conv.s2d_conv, fast_conv.s2d_conv_s1,
+               fast_conv.subpixel_conv_transpose):
+        dx, dw = jax.grad(loss(fn), argnums=(0, 1))(x, w)
+        assert dx.shape == x.shape and dw.shape == w.shape
+        assert bool(jnp.isfinite(dx).all()) and bool(jnp.isfinite(dw).all())
+
+    # gradient parity vs the lax formulation for the stride-1 rewrite
+    def ref_loss(xx, ww):
+        y = jax.lax.conv_general_dilated(
+            xx, ww, window_strides=(1, 1, 1), padding="SAME",
+            dimension_numbers=_dn(3)) + b
+        return (y ** 2).sum()
+
+    def got_loss(xx, ww):
+        return (fast_conv.s2d_conv_s1(xx, ww, b) ** 2).sum()
+
+    rdx, rdw = jax.grad(ref_loss, argnums=(0, 1))(x, w)
+    gdx, gdw = jax.grad(got_loss, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(gdx, rdx, rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(gdw, rdw, rtol=5e-3, atol=1e-3)
+
+
+def test_eligibility_gates():
+    assert fast_conv.s2d_eligible((8, 96, 96, 96, 1), (3, 3, 3), (2, 2, 2))
+    assert not fast_conv.s2d_eligible((8, 96, 96, 96, 16), (3, 3, 3), (2, 2, 2))
+    assert not fast_conv.s2d_eligible((8, 95, 96, 96, 1), (3, 3, 3), (2, 2, 2))
+    assert fast_conv.s2d_s1_eligible((8, 96, 96, 96, 8), (3, 3, 3), (1, 1, 1))
+    assert not fast_conv.s2d_s1_eligible((8, 48, 48, 48, 8), (3, 3, 3), (1, 1, 1))
+    assert not fast_conv.s2d_s1_eligible((8, 96, 96, 96, 16), (3, 3, 3), (1, 1, 1))
+    assert fast_conv.subpixel_eligible((8, 48, 48, 48, 32), 8, (3, 3, 3), (2, 2, 2))
+    assert not fast_conv.subpixel_eligible((8, 6, 6, 6, 384), 64, (3, 3, 3), (2, 2, 2))
