@@ -61,8 +61,11 @@ def main():
                              training=True, mutable=["batch_stats"])
         return dice_loss(out, label)
 
+    from segmantic_tpu.ops import pallas_conv
+
     real_s2d = fast_conv.s2d_eligible
     real_sub = fast_conv.subpixel_eligible
+    real_packed = pallas_conv.packed_route_supported
 
     def off(*a, **k):
         return False
@@ -72,6 +75,7 @@ def main():
         use = tag.startswith("fast")
         fast_conv.s2d_eligible = real_s2d if use else off
         fast_conv.subpixel_eligible = real_sub if use else off
+        pallas_conv.packed_route_supported = real_packed if use else off
         fwd = jax.jit(lambda v, a: model.apply(v, a, training=False))
         fwdbwd = jax.jit(lambda p, b, a: jax.grad(train_loss)(p, b, a))
         t_f = bench(fwd, (variables, x))

@@ -48,6 +48,15 @@ class DispatchConv3D(nn.Module):
         kshape = tuple(self.kernel_size) + (c_in, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if pallas_conv.packed_route_active() and pallas_conv.packed_route_supported(
+            x.shape, self.features, tuple(self.kernel_size), tuple(self.strides)
+        ):
+            # batch-packed Pallas conv with custom VJP: 1.4-1.5x measured
+            # on the tiny-C stride-1 stages (train and eval)
+            y = pallas_conv.conv3d_packed(
+                x, kernel.astype(x.dtype), jax.default_backend() != "tpu"
+            )
+            return y + bias.astype(y.dtype)
         if (
             self.use_pallas
             and not training
@@ -136,13 +145,18 @@ def _activation(name: str) -> Callable:
 
 
 class Norm(nn.Module):
-    """BATCH / INSTANCE / GROUP normalization over channel-last inputs."""
+    """BATCH / INSTANCE / GROUP normalization over channel-last inputs.
+
+    ``norm_axis`` names a mapped mesh axis (shard_map/pmap) so BATCH
+    statistics reduce over the global batch when the train step runs
+    per-shard — the cross-device analog of the reference's full-batch
+    BatchNorm under its single-process trainer."""
 
     kind: str = "BATCH"
     momentum: float = 0.9  # = 1 - torch momentum 0.1
 
     @nn.compact
-    def __call__(self, x, training: bool):
+    def __call__(self, x, training: bool, norm_axis: str | None = None):
         kind = self.kind.upper()
         if kind == "BATCH":
             return nn.BatchNorm(
@@ -150,6 +164,7 @@ class Norm(nn.Module):
                 momentum=self.momentum,
                 epsilon=1e-5,
                 dtype=x.dtype,
+                axis_name=norm_axis if training else None,
             )(x)
         if kind == "INSTANCE":
             return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5, dtype=x.dtype)(x)
@@ -174,7 +189,7 @@ class ConvUnit(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, norm_axis: str | None = None):
         nd = x.ndim - 2
         kshape = (self.kernel_size,) * nd
         sshape = (self.strides,) * nd
@@ -189,7 +204,7 @@ class ConvUnit(nn.Module):
             )(x, training)
         if self.conv_only:
             return x
-        x = Norm(kind=self.norm)(x, training)
+        x = Norm(kind=self.norm)(x, training, norm_axis)
         if self.dropout > 0:
             x = nn.Dropout(rate=self.dropout, deterministic=not training)(x)
         return _activation(self.act)(x)
@@ -212,7 +227,7 @@ class ResidualUnit(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, norm_axis: str | None = None):
         nd = x.ndim - 2
         residual = x
         y = x
@@ -226,7 +241,7 @@ class ResidualUnit(nn.Module):
                 norm=self.norm,
                 act=self.act,
                 dropout=self.dropout,
-            )(y, training)
+            )(y, training, norm_axis)
         if self.strides != 1 or x.shape[-1] != self.features:
             rk = self.kernel_size if self.strides != 1 else 1
             residual = DispatchConv3D(
@@ -308,7 +323,7 @@ class UNet(nn.Module):
         return units
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, norm_axis: str | None = None):
         if x.ndim != self.spatial_dims + 2:
             raise ValueError(
                 f"expected (N, *spatial[{self.spatial_dims}], C) input, got {x.shape}"
@@ -324,11 +339,11 @@ class UNet(nn.Module):
         skips = []
         y = x
         for level, (c, s) in enumerate(zip(channels[:-1], strides)):
-            y = self._down(c, s, is_top=level == 0)(y, training)
+            y = self._down(c, s, is_top=level == 0)(y, training, norm_axis)
             skips.append(y)
 
         # bottom (stride 1)
-        y = self._down(channels[-1], 1, is_top=False)(y, training)
+        y = self._down(channels[-1], 1, is_top=False)(y, training, norm_axis)
 
         # decoder: deepest level outputs channels[level-1] except the top,
         # which maps straight to out_channels
@@ -336,5 +351,5 @@ class UNet(nn.Module):
             y = jnp.concatenate([skips[level], y], axis=-1)
             out_feats = self.out_channels if level == 0 else channels[level - 1]
             for unit in self._up(out_feats, strides[level], is_top=level == 0):
-                y = unit(y, training)
+                y = unit(y, training, norm_axis)
         return y

@@ -175,6 +175,196 @@ def conv3d_pallas(
     return jnp.transpose(out.reshape(D, H, W, B, CO), (3, 0, 1, 2, 4))
 
 
+def _pick_th_dw(h: int, w: int, bc: int, bco: int) -> int:
+    """Largest H tile for the dw kernel's VMEM working set."""
+    lanes_in = max(bc, 128)
+    lanes_out = max(bco, 128)
+    for th in (32, 24, 16, 12, 8, 4, 2, 1):
+        if h % th:
+            continue
+        views = 3 * th * (w + 2) * lanes_in * 2 * 2
+        patches = th * w * max(9 * bc, 128) * 2
+        dyb = th * w * lanes_out * 2 * 2
+        acc = 9 * bc * lanes_out * 4
+        if views + patches + dyb + acc < _VMEM_BUDGET:
+            return th
+    return 1
+
+
+def _dw_kernel(v0, v1, v2, dyref, out, *, TH, W, BC, BCO):
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        out[...] = jnp.zeros_like(out)
+
+    slabs = []
+    for v in (v0, v1, v2):  # dy = 0, 1, 2
+        plane = v[0]  # (TH, W+2, BC)
+        for dx in range(3):
+            slabs.append(plane[:, dx : dx + W, :].reshape(TH * W, BC))
+    patches = jnp.concatenate(slabs, axis=1)  # (TH*W, 9*BC)
+    dyb = dyref[0].reshape(TH * W, BCO)
+    # (9BC, BCO) += patches^T @ dy  — contraction over the TH*W positions
+    out[0] += jax.lax.dot_general(
+        patches, dyb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def conv3d_packed_dw(x: jax.Array, dy: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """Weight gradient of the stride-1 SAME 3^3 conv, batch-packed.
+
+    Computes dw[t, ci, co] = sum_{b,p} x[b, p + t - 1, ci] * dy[b, p, co]
+    as a dense (9*B*C, B*CO) GEMM per depth tap (patches^T @ dy with all
+    128 lanes full), then collapses the block-diagonal over the batch.
+    The off-diagonal (cross-batch) blocks are redundant FLOPs — the same
+    B-times padding the packed forward pays for dense MXU utilization.
+    """
+    B, D, H, W, C = x.shape
+    CO = dy.shape[-1]
+    BC, BCO = B * C, B * CO
+    TH = _pick_th_dw(H, W, BC, BCO)
+
+    xt = jnp.transpose(x, (1, 2, 3, 0, 4)).reshape(D, H, W, BC)
+    xp = jnp.pad(xt, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    views = [xp[:, dyv : dyv + H, :, :] for dyv in range(3)]
+    dyt = jnp.transpose(dy, (1, 2, 3, 0, 4)).reshape(D, H, W, BCO)
+
+    def view_spec():
+        return pl.BlockSpec(
+            (1, TH, W + 2, BC),
+            lambda dz, h, d: (d + dz, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    raw = pl.pallas_call(
+        partial(_dw_kernel, TH=TH, W=W, BC=BC, BCO=BCO),
+        grid=(3, H // TH, D),
+        in_specs=[
+            view_spec(),
+            view_spec(),
+            view_spec(),
+            pl.BlockSpec((1, TH, W, BCO), lambda dz, h, d: (d, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 9 * BC, BCO), lambda dz, h, d: (dz, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 9 * BC, BCO), jnp.float32),
+        interpret=interpret,
+    )(views[0], views[1], views[2], dyt)
+
+    # collapse the batch block-diagonal: raw[dz, (k, b, ci), (b2, co)] with
+    # only b == b2 carrying the true gradient
+    raw = raw.reshape(3, 9, B, C, B, CO)
+    dw = jnp.einsum("zkbcdo,bd->zkco", raw, jnp.eye(B, dtype=raw.dtype))
+    return dw.reshape(3, 3, 3, C, CO)
+
+
+def packed_vjp_supported(x_shape: Tuple[int, ...], c_out: int,
+                         kernel: Tuple[int, ...] = (3, 3, 3),
+                         strides: Tuple[int, ...] = (1, 1, 1)) -> bool:
+    """Eligibility for the differentiable packed conv (fwd + dx + dw)."""
+    if not supported(x_shape, c_out, kernel, strides):
+        return False
+    b, d, h, w, c = x_shape
+    # dx runs the fwd kernel on dy: (B, D, H, W, CO) -> C
+    if not supported((b, d, h, w, c_out), c, kernel, strides):
+        return False
+    return _pick_th_dw(h, w, b * c, b * c_out) >= 2
+
+
+def packed_route_supported(x_shape: Tuple[int, ...], c_out: int,
+                           kernel: Tuple[int, ...] = (3, 3, 3),
+                           strides: Tuple[int, ...] = (1, 1, 1)) -> bool:
+    """Measured win region for routing model convs through the packed VJP
+    (exp/packed_ab.py, v5e): B*C <= 128 wins 1.4-1.5x end-to-end on
+    fwd+grads; B*C = 256 already loses to XLA's fusion, so it is gated out."""
+    b, c = x_shape[0], x_shape[-1]
+    if b * c > 128 or b * c_out > 128:
+        return False
+    return packed_vjp_supported(x_shape, c_out, kernel, strides)
+
+
+def packed_route_enabled() -> bool:
+    """Process-level switch for routing convs through the Pallas kernels.
+
+    SEGMANTIC_PACKED_CONV = on | off | auto (default). 'auto' enables the
+    route on a single-device TPU process only: inside a GSPMD-partitioned
+    jit over a >1-device mesh a pallas_call cannot be auto-partitioned (it
+    would be replicated or rejected by the SPMD partitioner), so
+    multi-device GSPMD steps keep the XLA convs. Multi-device training gets
+    the kernels through the shard_map grad path instead, which activates
+    :func:`packed_routing` while tracing per-shard code (local shapes, no
+    partitioner involved)."""
+    import os
+
+    mode = os.environ.get("SEGMANTIC_PACKED_CONV", "auto").lower()
+    if mode in ("1", "on", "true"):
+        return True
+    if mode in ("0", "off", "false"):
+        return False
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+import contextlib
+import contextvars
+
+_packed_ctx = contextvars.ContextVar("segmantic_packed_conv_ctx", default=None)
+
+
+@contextlib.contextmanager
+def packed_routing(enabled: Optional[bool]):
+    """Trace-time override of the packed-conv routing decision.
+
+    The shard_map train step wraps its per-shard loss/grad body in
+    ``packed_routing(True)`` so DispatchConv3D routes on local shapes even
+    in a multi-device process; ``packed_routing(False)`` force-disables
+    (e.g. for A/B measurement). ``None`` restores the auto rule."""
+    token = _packed_ctx.set(enabled)
+    try:
+        yield
+    finally:
+        _packed_ctx.reset(token)
+
+
+def packed_route_active() -> bool:
+    """The routing decision DispatchConv3D consults at trace time."""
+    override = _packed_ctx.get()
+    if override is not None:
+        return override
+    return packed_route_enabled()
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3d_packed(x: jax.Array, weights: jax.Array,
+                  interpret: bool = False) -> jax.Array:
+    """Differentiable stride-1 SAME 3^3 conv on the batch-packed Pallas
+    kernels: forward and input-gradient share the conv kernel (dx is the
+    same conv with the spatially-flipped, io-transposed weights), and the
+    weight gradient runs :func:`conv3d_packed_dw`. Gate with
+    :func:`packed_vjp_supported`. No bias/epilogue — compose outside."""
+    return conv3d_pallas(x, weights, out_dtype=x.dtype, interpret=interpret)
+
+
+def _packed_fwd(x, weights, interpret):
+    y = conv3d_pallas(x, weights, out_dtype=x.dtype, interpret=interpret)
+    return y, (x, weights)
+
+
+def _packed_bwd(interpret, res, dy):
+    x, weights = res
+    w_flip = jnp.flip(weights, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dx = conv3d_pallas(dy, w_flip.astype(dy.dtype), out_dtype=x.dtype,
+                       interpret=interpret)
+    dw = conv3d_packed_dw(x, dy, interpret=interpret)
+    return dx, dw.astype(weights.dtype)
+
+
+conv3d_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
 def conv3d_reference(x, weights, bias=None, scale=None, shift=None,
                      alpha=None, relu_mode="none", out_dtype=None):
     """XLA reference with identical semantics (for tests)."""

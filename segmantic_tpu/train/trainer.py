@@ -40,6 +40,7 @@ from ..image.labels import load_decathlon_tissuelist, load_tissue_list
 from ..infer.sliding_window import sliding_window_inference
 from ..metrics.overlap import confusion_matrix, dice_from_confusion
 from ..models.unet import UNet
+from ..ops import pallas_conv
 from ..parallel.mesh import make_mesh, put_batch, replicate
 from ..transforms import spatial as TS
 from ..transforms.base import Compose
@@ -235,9 +236,60 @@ def _resolve_num_classes(
     return num_classes
 
 
-def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size, mixed_precision: bool):
+def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
+                    mixed_precision: bool, mesh=None):
     """Build the jitted train step: fused device augmentation + fwd/bwd +
-    optax update; donates params/opt_state to avoid HBM copies."""
+    optax update; donates params/opt_state to avoid HBM copies.
+
+    With a data-parallel ``mesh`` (model axis of 1, data axis > 1) the
+    forward/backward runs under ``shard_map``: each device computes its
+    local-batch loss and gradients (BatchNorm statistics reduce globally
+    via its ``axis_name``), gradients/loss ``pmean`` over 'data', and the
+    replicated optimizer update stays outside. Numerically equivalent to
+    the GSPMD-partitioned step, but the per-shard body sees LOCAL shapes,
+    which lets the batch-packed Pallas convs route on multi-device meshes
+    (a pallas_call inside a GSPMD jit cannot be partitioned). Tensor-
+    parallel meshes (model axis > 1) keep the GSPMD step."""
+    dp_size = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    shard_grads = (
+        mesh is not None and int(mesh.shape.get("model", 1)) == 1 and dp_size > 1
+    )
+    norm_axis = "data" if shard_grads else None
+
+    def loss_and_grads(params, batch_stats, image, label):
+        with pallas_conv.packed_routing(True if shard_grads else None):
+
+            def loss_fn(p):
+                out, mutated = module.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    image,
+                    training=True,
+                    mutable=["batch_stats"],
+                    norm_axis=norm_axis,
+                )
+                return dice_loss(out, label), mutated.get("batch_stats", batch_stats)
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if shard_grads:
+            loss, grads = jax.lax.pmean((loss, grads), "data")
+        return loss, new_bs, grads
+
+    if shard_grads:
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        specs = dict(
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=(P(), P(), P()),
+        )
+        try:  # jax >= 0.8 names the replication check check_vma
+            loss_and_grads = shard_map(loss_and_grads, check_vma=False, **specs)
+        except TypeError:
+            loss_and_grads = shard_map(loss_and_grads, check_rep=False, **specs)
 
     def step(params, batch_stats, opt_state, image, label, key):
         # wire dtypes may be compact (bf16 image / uint8 label); augment in f32
@@ -246,16 +298,7 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
         if mixed_precision:
             image = image.astype(jnp.bfloat16)
 
-        def loss_fn(p):
-            out, mutated = module.apply(
-                {"params": p, "batch_stats": batch_stats},
-                image,
-                training=True,
-                mutable=["batch_stats"],
-            )
-            return dice_loss(out, label), mutated.get("batch_stats", batch_stats)
-
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        loss, new_bs, grads = loss_and_grads(params, batch_stats, image, label)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_bs, new_opt, loss
@@ -444,7 +487,9 @@ def train(
     params = replicate(mesh, model.variables["params"])
     batch_stats = replicate(mesh, model.variables.get("batch_stats", {}))
     opt_state = replicate(mesh, opt.init(params))
-    train_step = make_train_step(model.module, opt, aug_cfg, patch_size, mixed_precision)
+    train_step = make_train_step(
+        model.module, opt, aug_cfg, patch_size, mixed_precision, mesh=mesh
+    )
 
     scheduler = LRScheduler(optimizer_cfg["lr"], scheduler_cfg)
 

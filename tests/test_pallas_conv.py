@@ -63,3 +63,51 @@ def test_dispatch_conv_param_tree_matches_nn_conv():
     ours_shapes = jax.tree_util.tree_map(lambda a: a.shape, ours)
     ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref)
     assert ours_shapes == ref_shapes
+
+def test_conv3d_packed_vjp_matches_xla():
+    """fwd/dx/dw of the differentiable packed conv vs XLA autodiff."""
+    from segmantic_tpu.ops.pallas_conv import (
+        conv3d_packed,
+        conv3d_packed_dw,
+        packed_vjp_supported,
+    )
+
+    assert packed_vjp_supported((8, 48, 48, 48, 16), 16)
+    assert packed_vjp_supported((8, 96, 96, 96, 8), 8)
+    assert not packed_vjp_supported((8, 12, 12, 12, 64), 64)
+
+    rng = np.random.default_rng(1)
+    B, S, CI, CO = 4, 16, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, S, S, S, CI)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((3, 3, 3, CI, CO)) * 0.1).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((B, S, S, S, CO)).astype(np.float32))
+
+    def ref_loss(xx, ww):
+        return (conv3d_reference(xx, ww, out_dtype=jnp.float32) * ct).sum()
+
+    def got_loss(xx, ww):
+        return (conv3d_packed(xx, ww, True) * ct).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(conv3d_packed(x, w, True)),
+        np.asarray(conv3d_reference(x, w, out_dtype=jnp.float32)), atol=1e-4)
+    rdx, rdw = jax.grad(ref_loss, argnums=(0, 1))(x, w)
+    gdx, gdw = jax.grad(got_loss, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gdx), np.asarray(rdx),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gdw), np.asarray(rdw),
+                               rtol=1e-3, atol=2e-2)
+
+    # the dw kernel alone, against an einsum oracle
+    dw = conv3d_packed_dw(x, ct, interpret=True)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    want = jnp.stack([
+        jnp.stack([
+            jnp.stack([
+                jnp.einsum("bdhwc,bdhwo->co",
+                           xp[:, a:a + S, b_:b_ + S, c_:c_ + S, :], ct)
+                for c_ in range(3)], 0)
+            for b_ in range(3)], 0)
+        for a in range(3)], 0)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(want),
+                               rtol=1e-4, atol=1e-3)
