@@ -10,6 +10,23 @@ fetch whole contiguous rows (vectorized lane loads) instead of scalars —
 ~10x faster, identical zero-padding semantics, and for ``order=0`` each
 line shift is integral (labels move as exact row permutations, no mixing).
 
+Two further TPU optimizations (measured v5e, 8x144³→96³ batch):
+
+- the banded interpolation matmuls can run in bf16 with f32 accumulation
+  (a single MXU pass instead of f32-precision emulation, ``bf16=True``).
+  This is EXACT for the order-0 label path — one-hot weights and integer
+  class ids <= 255 are bf16-representable and each output row has a single
+  nonzero product — so order 0 always uses it; the order-1 image path
+  opts in when the surrounding pipeline computes in bf16 anyway (mixed-
+  precision training), else stays full-f32 with an exact identity;
+- passes shrink their output to the center window later passes actually
+  need (``out_shape`` + static reach bounds from the angle/zoom ranges),
+  instead of carrying the full margin through all 12 passes and cropping
+  at the end. Center-aligned same-parity windows keep every pass's
+  coordinate math exact, so the shrunk pipeline matches
+  full-frame-then-crop to float precision (bit-identical on the label
+  path, ~1-ulp GEMM-regrouping noise on the image path; test-pinned).
+
 Used by the fused on-device augmentation
 (:mod:`segmantic_tpu.train.augment`) in place of the general affine gather;
 the general gather (:mod:`segmantic_tpu.ops.resample`) remains the exact
@@ -18,7 +35,8 @@ reference for arbitrary matrices (spacing resample, inversion).
 
 from __future__ import annotations
 
-from typing import Sequence
+import math
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +56,10 @@ def _interp_matrix(pos: jax.Array, n_in: int, order: int) -> jax.Array:
     faster than the row-gather formulation at these sizes.
     """
     if order == 0:
-        idx = jnp.round(pos).astype(jnp.int32)
+        # floor(pos + 0.5), not round(): round-half-to-even flips exact
+        # .5 ties under integer window offsets (ITK's Math::Round is also
+        # floor-based), so NN picks must be translation-invariant
+        idx = jnp.floor(pos + 0.5).astype(jnp.int32)
         valid = (idx >= 0) & (idx <= n_in - 1)
         w = jax.nn.one_hot(jnp.clip(idx, 0, n_in - 1), n_in, dtype=jnp.float32)
         return w * valid[..., None]
@@ -56,63 +77,199 @@ def _restore_dtype(out: jax.Array, dtype) -> jax.Array:
     return out.astype(dtype)
 
 
+def _banded_matmul(w: jax.Array, x: jax.Array, spec: str, order: int,
+                   bf16: bool) -> jax.Array:
+    """The banded-interp einsum on the MXU.
+
+    order 0 always runs bf16 (one-hot weights and integer class ids <= 255
+    are bf16-exact, one nonzero product per output row); order 1 runs bf16
+    with f32 accumulation when ``bf16`` (single MXU pass, ~0.4% weight
+    noise — used when the training pipeline computes in bf16 anyway), else
+    full-f32 HIGHEST precision (exact identity)."""
+    if bf16 or order == 0:
+        return jnp.einsum(
+            spec, w.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum(
+        spec, w, x.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def shear_pass(
-    x: jax.Array, a_axis: int, b_axis: int, s: jax.Array, order: int
+    x: jax.Array, a_axis: int, b_axis: int, s: jax.Array, order: int,
+    out_extent: Optional[int] = None, bf16: bool = False,
 ) -> jax.Array:
     """Content shear: output line at (a, b) reads input a-coordinate
     ``a - s * (b - center_b)`` (about the volume center, zeros outside).
 
     ``x`` is channel-first (C, *spatial); ``a_axis``/``b_axis`` are spatial
-    axis indices; ``s`` may be traced.
+    axis indices; ``s`` may be traced. ``out_extent`` (same parity as the
+    input extent) emits only the center window along ``a_axis``.
     """
-    nd = x.ndim - 1
     a1, b1 = a_axis + 1, b_axis + 1
     rest = [d for d in range(1, x.ndim) if d not in (a1, b1)]
     perm = [0, a1, b1] + rest
     xt = jnp.transpose(x, perm)  # (C, NA, NB, *rest)
     c, na, nb = xt.shape[0], xt.shape[1], xt.shape[2]
     rest_shape = xt.shape[3:]
+    m = na if out_extent is None else min(out_extent, na)
 
     b_rel = jnp.arange(nb, dtype=jnp.float32) - _center(nb)
+    # global output index = local index + exact integer window offset, so a
+    # shrunk pass computes bit-identical positions to the full frame
+    o_glob = jnp.arange(m, dtype=jnp.float32) + float((na - m) // 2)
     pos = (
-        jnp.arange(na, dtype=jnp.float32)[:, None] - s.astype(jnp.float32) * b_rel[None, :]
-    )  # (NA, NB): input a-coordinate per output line
+        o_glob[:, None] - s.astype(jnp.float32) * b_rel[None, :]
+    )  # (M, NB): input a-coordinate per output line
 
     # per-b banded matmul on the MXU: out[c,o,b,r] = sum_u W[b,o,u] x[c,u,b,r]
-    w = _interp_matrix(pos.T, na, order)  # (NB, NA_out, NA_in)
-    xf = xt.reshape(c, na, nb, -1).astype(jnp.float32)
-    out = jnp.einsum(
-        "bou,cubr->cobr", w, xf, precision=jax.lax.Precision.HIGHEST
-    )
+    w = _interp_matrix(pos.T, na, order)  # (NB, M, NA_in)
+    xf = xt.reshape(c, na, nb, -1)
+    out = _banded_matmul(w, xf, "bou,cubr->cobr", order, bf16)
 
-    out = out.reshape((c, na, nb) + rest_shape)
+    out = out.reshape((c, m, nb) + rest_shape)
     inv = [0] * x.ndim
     for i, p in enumerate(perm):
         inv[p] = i
     return _restore_dtype(jnp.transpose(out, inv), x.dtype)
 
 
-def scale_pass(x: jax.Array, axis: int, zoom: jax.Array, order: int) -> jax.Array:
+def scale_pass(
+    x: jax.Array, axis: int, zoom: jax.Array, order: int,
+    out_extent: Optional[int] = None, bf16: bool = False,
+    frame_extent: Optional[int] = None,
+) -> jax.Array:
     """Per-axis content zoom about the center: input coord =
-    (out - c) / zoom + c. Indices vary along one axis only (vector take)."""
+    (out - c) / zoom + c. Indices vary along one axis only (vector take).
+
+    ``frame_extent`` is the ORIGINAL full extent of this axis when ``x`` is
+    a center-aligned window of it: positions are computed in the full frame
+    (bit-identical to the unshrunk computation) and shifted by the exact
+    integer window offset — integer subtraction on f32 here is exact, so
+    nearest-neighbor rounding cannot flip relative to the full frame."""
     a1 = axis + 1
     n = x.shape[a1]
     xt = jnp.moveaxis(x, a1, 1)  # (C, N, *rest)
     c = xt.shape[0]
     flat = xt.reshape(c, n, -1)
+    m = n if out_extent is None else min(out_extent, n)
+    frame = n if frame_extent is None else frame_extent
+    off_in = (frame - n) // 2  # window offset of x inside the full frame
 
-    pos = (jnp.arange(n, dtype=jnp.float32) - _center(n)) / zoom.astype(
-        jnp.float32
-    ) + _center(n)
+    o_full = jnp.arange(m, dtype=jnp.float32) + float((n - m) // 2 + off_in)
+    pos_full = (o_full - _center(frame)) / zoom.astype(jnp.float32) + _center(frame)
+    pos = pos_full - float(off_in)
     # single banded matmul: out[c,o,r] = sum_u W[o,u] x[c,u,r]
-    w = _interp_matrix(pos, n, order)  # (N_out, N_in)
-    out = jnp.einsum(
-        "ou,cur->cor", w, flat.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    w = _interp_matrix(pos, n, order)  # (M, N_in)
+    out = _banded_matmul(w, flat, "ou,cur->cor", order, bf16)
 
-    out = out.reshape(xt.shape)
+    out = out.reshape((c, m) + xt.shape[2:])
     return _restore_dtype(jnp.moveaxis(out, 1, a1), x.dtype)
+
+
+def _pass_list(nd: int, n_rot: int) -> List[Tuple[str, int, int, Tuple[int, int]]]:
+    """Ordered (kind, a_axis, b_axis, (rot_axis, slot)) for the full chain.
+
+    kind 'sh': shear of a by b; slot 0/2 are the tan-half shears, slot 1 the
+    sin shear. kind 'sc': per-axis zoom (b_axis unused).
+    """
+    passes: List[Tuple[str, int, int, Tuple[int, int]]] = []
+    for axis in range(n_rot):
+        if nd == 2:
+            a, b = 0, 1
+        else:
+            a, b = [d for d in range(3) if d != axis]
+        passes.append(("sh", a, b, (axis, 0)))
+        passes.append(("sh", b, a, (axis, 1)))
+        passes.append(("sh", a, b, (axis, 2)))
+    for axis in range(nd):
+        passes.append(("sc", axis, -1, (-1, -1)))
+    return passes
+
+
+def _extent_schedule(
+    full: Sequence[int],
+    out_shape: Sequence[int],
+    passes: List[Tuple[str, int, int, Tuple[int, int]]],
+    angle_max: float,
+    zoom_min: float,
+) -> List[int]:
+    """Static per-pass output extents, walked backward from ``out_shape``.
+
+    A shear of a by b with |s| <= s_max needs input support
+    need_a + 2*ceil(s_max * need_b / 2) + 2 (interp stencil + rounding);
+    a zoom >= zoom_min needs need / zoom_min + 2. Extents keep the full
+    frame's parity (center-aligned crops then preserve the exact center)
+    and are capped at the full margin.
+    """
+    t_max = abs(math.tan(angle_max / 2.0))
+    s_max = abs(math.sin(angle_max))
+
+    def with_parity(v: float, axis: int) -> int:
+        n = int(math.ceil(v))
+        if (n - full[axis]) % 2:
+            n += 1
+        return min(n, full[axis])
+
+    # parity-match the final extents to the full frame so every crop is
+    # exactly center-aligned; the caller's center_crop trims the remainder
+    # with the same floor semantics as the legacy full-frame path
+    need = [with_parity(o, ax) for ax, o in enumerate(out_shape)]
+
+    out_extents = [0] * len(passes)
+    for i in range(len(passes) - 1, -1, -1):
+        kind, a, b, (_, slot) = passes[i]
+        out_extents[i] = need[a]
+        if kind == "sc":
+            need[a] = with_parity(need[a] / min(zoom_min, 1.0) + 2, a)
+        else:
+            smax = s_max if slot == 1 else t_max
+            need[a] = with_parity(need[a] + 2 * (smax * need[b] / 2.0 + 1), a)
+    return out_extents
+
+
+def rotate_zoom_shear(
+    x: jax.Array,
+    angles: jax.Array,  # (3,) or (1,) content rotation angles per axis
+    zoom: jax.Array,  # scalar isotropic content zoom
+    order: int,
+    out_shape: Optional[Sequence[int]] = None,
+    angle_max: float = 0.0,
+    zoom_min: float = 1.0,
+    bf16: bool = False,
+) -> jax.Array:
+    """Apply content rotations (axis order 0,1,2 — matching the composed
+    matrix in the fused augmentation) then isotropic zoom, all about the
+    volume center, same output shape, zeros outside.
+
+    With ``out_shape`` (+ static ``angle_max``/``zoom_min`` bounds on the
+    traced parameters), every pass emits only the center window later
+    passes need, and the result is the center ``out_shape`` crop of the
+    full-frame computation — bit-identical, at a fraction of the work.
+    """
+    nd = x.ndim - 1
+    n_rot = angles.shape[0]
+    passes = _pass_list(nd, n_rot)
+    if out_shape is not None:
+        extents = _extent_schedule(
+            x.shape[1:], out_shape, passes, angle_max, zoom_min
+        )
+    else:
+        extents = [None] * len(passes)
+
+    shears = []
+    for axis in range(n_rot):
+        sh1 = -jnp.tan(angles[axis] / 2.0)
+        sh2 = jnp.sin(angles[axis])
+        shears.append((sh1, sh2, sh1))
+    full = x.shape[1:]
+    for (kind, a, b, (rot_axis, slot)), ext in zip(passes, extents):
+        if kind == "sh":
+            x = shear_pass(x, a, b, shears[rot_axis][slot], order, ext, bf16)
+        else:
+            x = scale_pass(x, a, zoom, order, ext, bf16, frame_extent=full[a])
+    return x
 
 
 def rotate_pass(
@@ -135,24 +292,6 @@ def rotate_pass(
     x = shear_pass(x, a, b, sh1, order)
     x = shear_pass(x, b, a, sh2, order)
     x = shear_pass(x, a, b, sh1, order)
-    return x
-
-
-def rotate_zoom_shear(
-    x: jax.Array,
-    angles: jax.Array,  # (3,) or (1,) content rotation angles per axis
-    zoom: jax.Array,  # scalar isotropic content zoom
-    order: int,
-) -> jax.Array:
-    """Apply content rotations (axis order 0,1,2 — matching the composed
-    matrix in the fused augmentation) then isotropic zoom, all about the
-    volume center, same output shape, zeros outside."""
-    nd = x.ndim - 1
-    n_rot = angles.shape[0]
-    for axis in range(n_rot):
-        x = rotate_pass(x, axis, angles[axis], order)
-    for axis in range(nd):
-        x = scale_pass(x, axis, zoom, order)
     return x
 
 

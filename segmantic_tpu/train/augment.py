@@ -47,6 +47,11 @@ class AugmentConfig:
     gibbs_alpha: Tuple[float, float] = (0.0, 1.0)
     spike_prob: float = 0.2
     spike_intensity: Tuple[float, float] = (0.95, 1.10)
+    # run the image interp matmuls in bf16 (single MXU pass). The trainer
+    # couples this to mixed_precision: when the step computes in bf16, the
+    # ~0.4% interp-weight noise is below the cast that follows anyway.
+    # Labels are unaffected (their one-hot path is bf16-exact regardless).
+    interp_bf16: bool = True
 
 
 def _rotation_matrix(nd: int, angles: jax.Array) -> jax.Array:
@@ -90,11 +95,19 @@ def _augment_one(
     keys = jax.random.split(key, 8)
 
     if cfg.spatial:
-        # shear-decomposed rotation + zoom: row gathers instead of per-voxel
-        # gathers (~10x on TPU; see ops/shear_resample.py)
+        # shear-decomposed rotation + zoom as banded-interp matmuls; every
+        # pass emits only the center window later passes need (static
+        # bounds from the config ranges) — see ops/shear_resample.py
         angles, zoom = _random_spatial_params(keys[0], cfg, nd)
-        image = rotate_zoom_shear(image, angles, zoom, order=1)
-        label = rotate_zoom_shear(label, angles, zoom, order=0)
+        zoom_min = min(cfg.zoom_range[0], 1.0)
+        image = rotate_zoom_shear(
+            image, angles, zoom, order=1, out_shape=out_shape,
+            angle_max=cfg.rotate_range, zoom_min=zoom_min, bf16=cfg.interp_bf16,
+        )
+        label = rotate_zoom_shear(
+            label, angles, zoom, order=0, out_shape=out_shape,
+            angle_max=cfg.rotate_range, zoom_min=zoom_min,
+        )
     image = center_crop(image, out_shape)
     label = center_crop(label, out_shape)
 

@@ -255,25 +255,42 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
         mesh is not None and int(mesh.shape.get("model", 1)) == 1 and dp_size > 1
     )
     norm_axis = "data" if shard_grads else None
+    # bf16 interp in the spatial augmentation only when the step computes
+    # in bf16 anyway (the cast after augment would round identically)
+    aug_cfg = dataclasses.replace(
+        aug_cfg, interp_bf16=aug_cfg.interp_bf16 and mixed_precision
+    )
 
-    def loss_and_grads(params, batch_stats, image, label):
-        with pallas_conv.packed_routing(True if shard_grads else None):
+    def make_lag(use_axis: bool):
+        axis = norm_axis if use_axis else None
 
-            def loss_fn(p):
-                out, mutated = module.apply(
-                    {"params": p, "batch_stats": batch_stats},
-                    image,
-                    training=True,
-                    mutable=["batch_stats"],
-                    norm_axis=norm_axis,
-                )
-                return dice_loss(out, label), mutated.get("batch_stats", batch_stats)
+        def loss_and_grads(params, batch_stats, image, label):
+            with pallas_conv.packed_routing(True if use_axis else None):
 
-            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        if shard_grads:
-            loss, grads = jax.lax.pmean((loss, grads), "data")
-        return loss, new_bs, grads
+                def loss_fn(p):
+                    out, mutated = module.apply(
+                        {"params": p, "batch_stats": batch_stats},
+                        image,
+                        training=True,
+                        mutable=["batch_stats"],
+                        norm_axis=axis,
+                    )
+                    return dice_loss(out, label), mutated.get(
+                        "batch_stats", batch_stats
+                    )
 
+                (loss, new_bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+            if use_axis:
+                loss, grads = jax.lax.pmean((loss, grads), "data")
+            return loss, new_bs, grads
+
+        return loss_and_grads
+
+    plain_lag = make_lag(False)
+
+    sharded_lag = None
     if shard_grads:
         try:
             from jax import shard_map
@@ -287,9 +304,9 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
             out_specs=(P(), P(), P()),
         )
         try:  # jax >= 0.8 names the replication check check_vma
-            loss_and_grads = shard_map(loss_and_grads, check_vma=False, **specs)
+            sharded_lag = shard_map(make_lag(True), check_vma=False, **specs)
         except TypeError:
-            loss_and_grads = shard_map(loss_and_grads, check_rep=False, **specs)
+            sharded_lag = shard_map(make_lag(True), check_rep=False, **specs)
 
     def step(params, batch_stats, opt_state, image, label, key):
         # wire dtypes may be compact (bf16 image / uint8 label); augment in f32
@@ -298,7 +315,14 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
         if mixed_precision:
             image = image.astype(jnp.bfloat16)
 
-        loss, new_bs, grads = loss_and_grads(params, batch_stats, image, label)
+        # the shard_map body requires batch % data-axis == 0; tiny debug
+        # batches (put_batch replicates those) keep the GSPMD step. Static
+        # shapes: resolved at trace time, one branch compiles.
+        if sharded_lag is not None and image.shape[0] % dp_size == 0:
+            lag = sharded_lag
+        else:
+            lag = plain_lag
+        loss, new_bs, grads = lag(params, batch_stats, image, label)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_bs, new_opt, loss

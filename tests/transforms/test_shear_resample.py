@@ -115,3 +115,54 @@ def test_center_crop():
     x = jnp.arange(1 * 6 * 6).reshape(1, 6, 6)
     out = center_crop(x, (4, 4))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x[:, 1:5, 1:5]))
+
+def test_extent_shrink_matches_full_frame():
+    """out_shape-scheduled passes == full-frame computation + center crop.
+
+    Center-aligned same-parity windows keep every pass's coordinate math
+    identical, so the shrunk pipeline must be exact (not just close) for
+    both the f32 image path and the integer label path."""
+    from segmantic_tpu.ops.shear_resample import center_crop
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.standard_normal((2, 40, 44, 36)).astype(np.float32))
+    lbl = jnp.asarray(rng.integers(0, 7, (1, 40, 44, 36)).astype(np.int32))
+    angles = jnp.asarray([0.31, -0.4, 0.22], jnp.float32)
+    zoom = jnp.asarray(0.85, jnp.float32)
+    out_shape = (24, 26, 22)
+
+    for x, order, exact in ((img, 1, False), (lbl, 0, True)):
+        full = center_crop(
+            rotate_zoom_shear(x, angles, zoom, order=order), out_shape
+        )
+        shrunk = center_crop(
+            rotate_zoom_shear(
+                x, angles, zoom, order=order, out_shape=out_shape,
+                angle_max=0.4, zoom_min=0.8,
+            ),
+            out_shape,
+        )
+        if exact:
+            # one nonzero product per output row: fma grouping cannot
+            # perturb it, so the label path is bit-identical
+            np.testing.assert_array_equal(np.asarray(shrunk), np.asarray(full))
+        else:
+            # GEMMs of different shapes group fma partial sums differently
+            # (~1-2 ulp); content must match to float precision
+            np.testing.assert_allclose(
+                np.asarray(shrunk), np.asarray(full), atol=1e-5, rtol=1e-5
+            )
+
+
+def test_extent_shrink_bf16_close():
+    """bf16 image interp stays within bf16 tolerance of the f32 path."""
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.standard_normal((1, 32, 32, 32)).astype(np.float32))
+    angles = jnp.asarray([0.2, 0.1, -0.3], jnp.float32)
+    zoom = jnp.asarray(1.1, jnp.float32)
+    a = rotate_zoom_shear(img, angles, zoom, order=1, out_shape=(16, 16, 16),
+                          angle_max=0.4, zoom_min=0.8)
+    b = rotate_zoom_shear(img, angles, zoom, order=1, out_shape=(16, 16, 16),
+                          angle_max=0.4, zoom_min=0.8, bf16=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.15)
+    assert float(jnp.abs(a - b).mean()) < 0.02
