@@ -54,6 +54,11 @@ __all__ = [
     "s2d_conv",
     "s2d_conv_s1",
     "subpixel_conv_transpose",
+    "subpixel_phase_conv",
+    "phase_conv_s1",
+    "expand_s1_kernel",
+    "tile_phase",
+    "depth_to_space",
     "s2d_eligible",
     "s2d_s1_eligible",
     "subpixel_eligible",
@@ -205,13 +210,14 @@ def s2d_conv(x: jax.Array, w: jax.Array, bias: jax.Array | None = None):
     return y
 
 
-def subpixel_conv_transpose(x: jax.Array, w: jax.Array,
-                            bias: jax.Array | None = None):
-    """Stride-2 kernel-3 SAME conv_transpose via subpixel phase expansion.
+def subpixel_phase_conv(x: jax.Array, w: jax.Array) -> jax.Array:
+    """The phase-space half of the subpixel conv_transpose: returns the
+    phase tensor (B, *S, 2^nd * Co) at INPUT resolution (phase-major
+    channel order; ``_depth_to_space`` of it is the conv_transpose output).
 
-    x: (B, *S, Ci); w: (*3^nd, Ci, Co). Returns (B, *2S, Co), bit-matching
-    ``lax.conv_transpose(padding="SAME", transpose_kernel=False)``.
-    """
+    Exposed so executors can keep whole decoder stages in phase space —
+    elementwise ops, 3^3 stride-1 convs (:func:`phase_conv_s1`), and
+    residual adds all commute with depth-to-space."""
     nd = x.ndim - 2
     ci, co = w.shape[-2], w.shape[-1]
     taps, blocks = _expand_letters(nd)
@@ -224,13 +230,67 @@ def subpixel_conv_transpose(x: jax.Array, w: jax.Array,
     )
     wsub = jnp.einsum(ein, w, *([sel] * nd))
     wsub = wsub.reshape((2,) * nd + (ci, 2**nd * co))
-    y = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         x, wsub.astype(x.dtype), window_strides=(1,) * nd,
         padding=((1, 0),) * nd, dimension_numbers=_dn(nd))
-    y = _depth_to_space(y, co)
+
+
+def subpixel_conv_transpose(x: jax.Array, w: jax.Array,
+                            bias: jax.Array | None = None):
+    """Stride-2 kernel-3 SAME conv_transpose via subpixel phase expansion.
+
+    x: (B, *S, Ci); w: (*3^nd, Ci, Co). Returns (B, *2S, Co), bit-matching
+    ``lax.conv_transpose(padding="SAME", transpose_kernel=False)``.
+    """
+    co = w.shape[-1]
+    y = _depth_to_space(subpixel_phase_conv(x, w), co)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+def expand_s1_kernel(w: jax.Array) -> jax.Array:
+    """Block-space expansion of a stride-1 kernel-3 SAME conv kernel:
+    (*3^nd, Ci, Co) -> (*3^nd, 2^nd*Ci, 2^nd*Co), phase-major channels.
+
+    ``conv3_SAME(x) == d2s(conv_SAME(s2d(x), expand_s1_kernel(w)))`` —
+    the :func:`s2d_conv_s1` identity. 7/8 of the expanded weights are
+    structural zeros (redundant FLOPs for dense lanes)."""
+    nd = w.ndim - 2
+    ci, co = w.shape[-2], w.shape[-1]
+    taps, blocks = _expand_letters(nd)
+    pin, pout = "PQR"[:nd], "XYZ"[:nd]
+    sel = jnp.asarray(_sel_s1(), w.dtype)
+    ein = (
+        f"{taps}io,"
+        + ",".join(f"{b}{i_}{o_}{t}" for b, i_, o_, t in
+                   zip(blocks, pin, pout, taps))
+        + f"->{blocks}{pin}i{pout}o"
+    )
+    wsub = jnp.einsum(ein, w, *([sel] * nd))
+    return wsub.reshape((3,) * nd + (2**nd * ci, 2**nd * co))
+
+
+def phase_conv_s1(p: jax.Array, w: jax.Array) -> jax.Array:
+    """Stride-1 kernel-3 SAME conv applied IN phase space: ``p`` is a
+    phase-major tensor (B, *S, 2^nd*Ci) representing the full-resolution
+    volume d2s(p); returns the phase tensor of conv3_SAME(d2s(p), w)."""
+    nd = p.ndim - 2
+    wsub = expand_s1_kernel(w)
+    return jax.lax.conv_general_dilated(
+        p, wsub.astype(p.dtype), window_strides=(1,) * nd,
+        padding=((1, 1),) * nd, dimension_numbers=_dn(nd))
+
+
+def tile_phase(v: jax.Array, nd: int) -> jax.Array:
+    """Per-true-channel vector (C,) -> per-phase-channel (2^nd * C,) in
+    phase-major order (phases repeat the channel block)."""
+    return jnp.tile(v, 2**nd)
+
+
+def depth_to_space(p: jax.Array, c_out: int) -> jax.Array:
+    """Public phase-major depth-to-space: (B, *S, 2^nd*C) -> (B, *2S, C)."""
+    return _depth_to_space(p, c_out)
 
 
 def s2d_conv_s1(x: jax.Array, w: jax.Array, bias: jax.Array | None = None):
@@ -241,25 +301,8 @@ def s2d_conv_s1(x: jax.Array, w: jax.Array, bias: jax.Array | None = None):
     weight tensor is 7/8 structural zeros (redundant MXU FLOPs traded for
     dense lanes — gate with :func:`s2d_s1_eligible`).
     """
-    nd = x.ndim - 2
-    ci, co = w.shape[-2], w.shape[-1]
-    taps, blocks = _expand_letters(nd)
-    pin, pout = "PQR"[:nd], "XYZ"[:nd]
-    sel = jnp.asarray(_sel_s1(), w.dtype)
-    # V[a, p_in, p_out, t] per dim; wsub[a..., (pi... i), (po... o)]
-    ein = (
-        f"{taps}io,"
-        + ",".join(f"{b}{i_}{o_}{t}" for b, i_, o_, t in
-                   zip(blocks, pin, pout, taps))
-        + f"->{blocks}{pin}i{pout}o"
-    )
-    wsub = jnp.einsum(ein, w, *([sel] * nd))
-    wsub = wsub.reshape((3,) * nd + (2**nd * ci, 2**nd * co))
-    xb = _space_to_depth(x)
-    y = jax.lax.conv_general_dilated(
-        xb, wsub.astype(x.dtype), window_strides=(1,) * nd,
-        padding=((1, 1),) * nd, dimension_numbers=_dn(nd))
-    y = _depth_to_space(y, co)
+    co = w.shape[-1]
+    y = _depth_to_space(phase_conv_s1(_space_to_depth(x), w), co)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

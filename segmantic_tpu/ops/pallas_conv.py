@@ -99,45 +99,67 @@ def _kernel(v0, v1, v2, wref, scale, bias, alpha, out, acc,
         out[0] = y.reshape(TH, W, BCO).astype(out.dtype)
 
 
-@partial(jax.jit, static_argnames=("relu_mode", "out_dtype", "interpret"))
-def conv3d_pallas(
-    x: jax.Array,  # (B, D, H, W, C) channel-last
-    weights: jax.Array,  # (3, 3, 3, C, CO) — flax DHWIO order
+def pack_batch(x: jax.Array) -> jax.Array:
+    """(B, D, H, W, C) -> (D, H, W, B*C): batch packed into lanes."""
+    B, D, H, W, C = x.shape
+    return jnp.transpose(x, (1, 2, 3, 0, 4)).reshape(D, H, W, B * C)
+
+
+def unpack_batch(xp: jax.Array, batch: int) -> jax.Array:
+    """(D, H, W, B*C) -> (B, D, H, W, C): inverse of :func:`pack_batch`."""
+    D, H, W, BC = xp.shape
+    return jnp.transpose(
+        xp.reshape(D, H, W, batch, BC // batch), (3, 0, 1, 2, 4)
+    )
+
+
+def pack_weights(weights: jax.Array, batch: int, dtype) -> jax.Array:
+    """Block-diagonal packed weights: (3,3,3,C,CO) -> (3, 9*B*C, B*CO).
+
+    w2[dz, (dy*3+dx)*BC + b*C+ci, b*CO+co] — the per-batch diagonal blocks
+    carry the conv; the off-diagonal zeros are the FLOP padding that buys
+    dense lanes."""
+    C, CO = weights.shape[-2], weights.shape[-1]
+    eye_b = jnp.eye(batch, dtype=dtype)
+    return jnp.einsum(
+        "zyxio,ab->zyxaibo", weights.astype(dtype), eye_b
+    ).reshape(3, 9 * batch * C, batch * CO)
+
+
+def conv3d_packed_p(
+    xp: jax.Array,  # (D, H, W, B*C) packed input (pack_batch)
+    batch: int,
+    w2: jax.Array,  # (3, 9*B*C, B*CO) packed weights (pack_weights)
     bias: Optional[jax.Array] = None,  # (CO,)
     scale: Optional[jax.Array] = None,  # (CO,) folded-norm scale on conv out
     shift: Optional[jax.Array] = None,  # (CO,) folded-norm shift
     alpha: Optional[jax.Array] = None,  # (1,) PReLU slope
     relu_mode: str = "none",  # none | relu | prelu
     out_dtype=None,
-    interpret: bool = False,  # pallas interpret mode (CPU testing)
+    interpret: bool = False,
 ) -> jax.Array:
-    """Fused stride-1 SAME 3^3 conv (+bias, folded norm, activation), 3D.
+    """Packed-in/packed-out fused stride-1 SAME 3^3 conv (+ epilogue).
 
+    The packed-layout building block: callers that chain several stride-1
+    convs (a residual unit, a decoder stage) pack once, run every conv and
+    the residual adds in (D, H, W, B*C) lane-dense layout, and unpack once.
     Epilogue math: y = (conv(x) + bias) * scale + shift, then activation.
     """
-    B, D, H, W, C = x.shape
-    CO = weights.shape[-1]
-    out_dtype = out_dtype or x.dtype
-    BC, BCO = B * C, B * CO
+    D, H, W, BC = xp.shape
+    BCO = w2.shape[-1]
+    C, CO = BC // batch, BCO // batch
+    out_dtype = out_dtype or xp.dtype
     TH = _pick_th(H, W, BC, BCO)
 
-    # pack batch into lanes, pad spatial once
-    xt = jnp.transpose(x, (1, 2, 3, 0, 4)).reshape(D, H, W, BC)
-    xp = jnp.pad(xt, ((1, 1), (1, 1), (1, 1), (0, 0)))
-    views = [xp[:, dy : dy + H, :, :] for dy in range(3)]
-
-    # block-diagonal packed weights: w2[dz, (dy*3+dx)*BC + b*C+ci, b*CO+co]
-    eye_b = jnp.eye(B, dtype=x.dtype)
-    w2 = jnp.einsum(
-        "zyxio,ab->zyxaibo", weights.astype(x.dtype), eye_b
-    ).reshape(3, 9 * BC, BCO)
+    xpad = jnp.pad(xp, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    views = [xpad[:, dy : dy + H, :, :] for dy in range(3)]
 
     scale_v = jnp.ones((CO,), jnp.float32) if scale is None else scale.astype(jnp.float32)
     shift_v = jnp.zeros((CO,), jnp.float32) if shift is None else shift.astype(jnp.float32)
     bias_v = jnp.zeros((CO,), jnp.float32) if bias is None else bias.astype(jnp.float32)
     # (conv + bias) * scale + shift == conv * scale + (bias*scale + shift)
-    eff_scale = jnp.tile(scale_v, B)[None]  # (1, BCO)
-    eff_shift = jnp.tile(bias_v * scale_v + shift_v, B)[None]
+    eff_scale = jnp.tile(scale_v, batch)[None]  # (1, BCO)
+    eff_shift = jnp.tile(bias_v * scale_v + shift_v, batch)[None]
     alpha_v = (jnp.zeros((1, 1), jnp.float32) if alpha is None
                else alpha.astype(jnp.float32).reshape(1, 1))
 
@@ -148,7 +170,7 @@ def conv3d_pallas(
             memory_space=pltpu.VMEM,
         )
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         partial(_kernel, TH=TH, W=W, BC=BC, BCO=BCO, relu_mode=relu_mode),
         grid=(H // TH, D, 3),
         in_specs=[
@@ -172,7 +194,32 @@ def conv3d_pallas(
         scratch_shapes=[pltpu.VMEM((TH * W, BCO), jnp.float32)],
         interpret=interpret,
     )(views[0], views[1], views[2], w2, eff_scale, eff_shift, alpha_v)
-    return jnp.transpose(out.reshape(D, H, W, B, CO), (3, 0, 1, 2, 4))
+
+
+@partial(jax.jit, static_argnames=("relu_mode", "out_dtype", "interpret"))
+def conv3d_pallas(
+    x: jax.Array,  # (B, D, H, W, C) channel-last
+    weights: jax.Array,  # (3, 3, 3, C, CO) — flax DHWIO order
+    bias: Optional[jax.Array] = None,  # (CO,)
+    scale: Optional[jax.Array] = None,  # (CO,) folded-norm scale on conv out
+    shift: Optional[jax.Array] = None,  # (CO,) folded-norm shift
+    alpha: Optional[jax.Array] = None,  # (1,) PReLU slope
+    relu_mode: str = "none",  # none | relu | prelu
+    out_dtype=None,
+    interpret: bool = False,  # pallas interpret mode (CPU testing)
+) -> jax.Array:
+    """Fused stride-1 SAME 3^3 conv (+bias, folded norm, activation), 3D.
+
+    Epilogue math: y = (conv(x) + bias) * scale + shift, then activation.
+    Pack/unpack wrapper over :func:`conv3d_packed_p`.
+    """
+    B = x.shape[0]
+    out = conv3d_packed_p(
+        pack_batch(x), B, pack_weights(weights, B, x.dtype),
+        bias=bias, scale=scale, shift=shift, alpha=alpha,
+        relu_mode=relu_mode, out_dtype=out_dtype, interpret=interpret,
+    )
+    return unpack_batch(out, B)
 
 
 def _pick_th_dw(h: int, w: int, bc: int, bco: int) -> int:

@@ -335,8 +335,16 @@ def make_val_forward(module: UNet, compute_dtype=jnp.bfloat16):
     validation epochs — variables are an argument, not a closure).
 
     Windows are cast to ``compute_dtype`` (bf16 by default, like training
-    mixed precision) and logits returned in f32 for blending.
-    """
+    mixed precision) and logits returned in f32 for blending. Supported
+    configurations route through the packed-layout executor
+    (:mod:`segmantic_tpu.infer.executor`: folded norms, Pallas packed conv
+    chains; disable with SEGMANTIC_EVAL_EXECUTOR=off)."""
+    from ..infer.executor import (
+        executor_enabled, executor_supported, make_eval_forward,
+    )
+
+    if executor_enabled() and executor_supported(module):
+        return make_eval_forward(module, compute_dtype)
 
     @jax.jit
     def val_forward(variables, windows):
