@@ -30,6 +30,7 @@ def main() -> None:
 
     from segmantic_tpu.infer.sliding_window import sliding_window_inference
     from segmantic_tpu.models.unet import UNet
+    from segmantic_tpu.train.trainer import make_val_forward
 
     vol_shape = (256, 256, 176)
     roi = (96, 96, 96)
@@ -40,12 +41,12 @@ def main() -> None:
         jax.random.key(0), jnp.zeros((1,) + roi + (1,), jnp.bfloat16), training=False
     )
 
-    @jax.jit
-    def forward(variables, windows):
-        return model.apply(variables, windows.astype(jnp.bfloat16), training=False)
+    # the production predictor construction: routes through the packed-
+    # layout executor (folded norms, phase-space top stage) when supported
+    forward = make_val_forward(model)
 
     def predictor(windows):
-        return forward(variables, windows).astype(jnp.float32)
+        return forward(variables, windows)
 
     rng = np.random.default_rng(0)
     volume = rng.standard_normal(vol_shape + (1,)).astype(np.float32)

@@ -245,15 +245,19 @@ def _residual_unit(x, p, st, *, feats: int, strides: int, subunits: int,
 
 def _phase_stage_ok(x_shape, c_out: int, nres: int, strides: int) -> bool:
     """Fuse a decoder (convT + residual-unit) stage entirely in subpixel
-    phase space? Requires the subpixel gate on the transposed conv and a
-    stride-1 3^3 residual chain with identity shortcut (channels match)."""
+    phase space? Mirrors UNet._phase_stage_ok (same env gates) so the
+    executor rewrites exactly the stages the flax graph phase-runs."""
+    if os.environ.get("SEGMANTIC_PHASE_TOP", "on").lower() in (
+        "0", "off", "false",
+    ):
+        return False
     nd = len(x_shape) - 2
+    max_ph = int(os.environ.get("SEGMANTIC_PHASE_MAX", "128"))
     return (
         nres > 0
         and strides == 2
-        and fast_conv.subpixel_eligible(
-            x_shape, c_out, (3,) * nd, (strides,) * nd
-        )
+        and nd in (2, 3)
+        and (2**nd) * c_out <= max_ph
     )
 
 

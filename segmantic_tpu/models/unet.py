@@ -41,9 +41,21 @@ class DispatchConv3D(nn.Module):
     kernel_size: Sequence[int]
     strides: Sequence[int]
     use_pallas: bool = False
+    phase: bool = False  # input/output are subpixel phase tensors
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        if self.phase:
+            # phase-major input (B, *S, 2^nd * C): same kernel/bias params
+            # as the full-resolution conv, applied block-space (exact —
+            # ops/fast_conv.py identities); features stays the TRUE count
+            nd = x.ndim - 2
+            c_true = x.shape[-1] // (2**nd)
+            kshape = tuple(self.kernel_size) + (c_true, self.features)
+            kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = fast_conv.phase_conv_s1(x, kernel.astype(x.dtype))
+            return y + fast_conv.tile_phase(bias, nd).astype(y.dtype)
         c_in = x.shape[-1]
         kshape = tuple(self.kernel_size) + (c_in, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
@@ -92,6 +104,7 @@ class SubpixelConvTranspose(nn.Module):
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int]
+    phase_out: bool = False  # emit the phase tensor (no depth-to-space)
 
     @nn.compact
     def __call__(self, x):
@@ -99,6 +112,12 @@ class SubpixelConvTranspose(nn.Module):
         kshape = tuple(self.kernel_size) + (c_in, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.phase_out:
+            # caller guarantees subpixel eligibility; the 2x-upsampled
+            # volume stays phase-major at input resolution
+            nd = x.ndim - 2
+            y = fast_conv.subpixel_phase_conv(x, kernel.astype(x.dtype))
+            return y + fast_conv.tile_phase(bias, nd).astype(y.dtype)
         if fast_conv.subpixel_eligible(
             x.shape, self.features, self.kernel_size, self.strides
         ):
@@ -154,26 +173,38 @@ class Norm(nn.Module):
 
     kind: str = "BATCH"
     momentum: float = 0.9  # = 1 - torch momentum 0.1
+    phase_groups: int = 1  # input is phase-major with this many phases
 
     @nn.compact
     def __call__(self, x, training: bool, norm_axis: str | None = None):
         kind = self.kind.upper()
+        g = self.phase_groups
+        if g > 1:
+            # phase-major (…, g*C): statistics are per TRUE channel, so
+            # expose phases as an extra reduced axis — the param/stat tree
+            # stays (C,), numerics match the full-resolution layout exactly
+            # (the reduced set of values is identical)
+            x = x.reshape(x.shape[:-1] + (g, x.shape[-1] // g))
         if kind == "BATCH":
-            return nn.BatchNorm(
+            y = nn.BatchNorm(
                 use_running_average=not training,
                 momentum=self.momentum,
                 epsilon=1e-5,
                 dtype=x.dtype,
                 axis_name=norm_axis if training else None,
             )(x)
-        if kind == "INSTANCE":
-            return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5, dtype=x.dtype)(x)
-        if kind == "GROUP":
+        elif kind == "INSTANCE":
+            y = nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5, dtype=x.dtype)(x)
+        elif kind == "GROUP":
             groups = min(8, x.shape[-1])
-            return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=x.dtype)(x)
-        if kind == "NONE":
-            return x
-        raise ValueError(f"unsupported norm {self.kind!r}")
+            y = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=x.dtype)(x)
+        elif kind == "NONE":
+            y = x
+        else:
+            raise ValueError(f"unsupported norm {self.kind!r}")
+        if g > 1:
+            y = y.reshape(y.shape[:-2] + (g * y.shape[-1],))
+        return y
 
 
 class ConvUnit(nn.Module):
@@ -187,24 +218,32 @@ class ConvUnit(nn.Module):
     norm: str = "BATCH"
     act: str = "PRELU"
     dropout: float = 0.0
+    # phase-space stage (ops/fast_conv.py): 'in' consumes a phase tensor,
+    # 'out' emits one, 'both' does both; '' is the ordinary layout
+    phase: str = ""
 
     @nn.compact
     def __call__(self, x, training: bool = False, norm_axis: str | None = None):
         nd = x.ndim - 2
         kshape = (self.kernel_size,) * nd
         sshape = (self.strides,) * nd
+        phase_out = self.phase in ("out", "both")
         if self.transposed:
             x = SubpixelConvTranspose(
-                self.features, kshape, sshape, name="ConvTranspose_0"
+                self.features, kshape, sshape, phase_out=phase_out,
+                name="ConvTranspose_0",
             )(x)
         else:
             # named Conv_0 to keep the param tree identical to nn.Conv
             x = DispatchConv3D(
-                self.features, kshape, sshape, name="Conv_0"
+                self.features, kshape, sshape,
+                phase=self.phase in ("in", "both"), name="Conv_0"
             )(x, training)
         if self.conv_only:
             return x
-        x = Norm(kind=self.norm)(x, training, norm_axis)
+        # any phase mode leaves the conv output phase-major
+        groups = 2**nd if self.phase else 1
+        x = Norm(kind=self.norm, phase_groups=groups)(x, training, norm_axis)
         if self.dropout > 0:
             x = nn.Dropout(rate=self.dropout, deterministic=not training)(x)
         return _activation(self.act)(x)
@@ -225,6 +264,7 @@ class ResidualUnit(nn.Module):
     norm: str = "BATCH"
     act: str = "PRELU"
     dropout: float = 0.0
+    phase: bool = False  # phase tensor in/out (stride 1, identity shortcut)
 
     @nn.compact
     def __call__(self, x, training: bool = False, norm_axis: str | None = None):
@@ -241,7 +281,12 @@ class ResidualUnit(nn.Module):
                 norm=self.norm,
                 act=self.act,
                 dropout=self.dropout,
+                phase="both" if self.phase else "",
             )(y, training, norm_axis)
+        if self.phase:
+            # caller guarantees stride 1 + matching channels: the shortcut
+            # is the identity, exact in phase space
+            return y + residual
         if self.strides != 1 or x.shape[-1] != self.features:
             rk = self.kernel_size if self.strides != 1 else 1
             residual = DispatchConv3D(
@@ -292,6 +337,30 @@ class UNet(nn.Module):
             norm=self.norm,
             act=self.act,
             dropout=self.dropout,
+        )
+
+    def _phase_stage_ok(self, x_shape, out_feats: int, strides: int) -> bool:
+        """Run a decoder (convT + residual-unit) stage in subpixel phase
+        space? Gated to the measured win region (narrow stages, where the
+        full-resolution tiny-C convs are lowering-bound) and exactness
+        conditions. SEGMANTIC_PHASE_TOP=off disables; SEGMANTIC_PHASE_MAX
+        widens/narrows the phase-channel bound (default 128 = head + next stage; swept in exp/phase_train_ab.py)."""
+        import os
+
+        if os.environ.get("SEGMANTIC_PHASE_TOP", "on").lower() in (
+            "0", "off", "false",
+        ):
+            return False
+        nd = len(x_shape) - 2
+        max_ph = int(os.environ.get("SEGMANTIC_PHASE_MAX", "128"))
+        return (
+            self.num_res_units > 0
+            and self.dropout == 0.0  # dropout masks would decorrelate
+            and strides == 2
+            and self.kernel_size == 3
+            and self.up_kernel_size == 3
+            and nd in (2, 3)
+            and (2**nd) * out_feats <= max_ph
         )
 
     def _up(self, features: int, strides: int, is_top: bool):
@@ -349,7 +418,39 @@ class UNet(nn.Module):
         # which maps straight to out_channels
         for level in reversed(range(len(strides))):
             y = jnp.concatenate([skips[level], y], axis=-1)
-            out_feats = self.out_channels if level == 0 else channels[level - 1]
-            for unit in self._up(out_feats, strides[level], is_top=level == 0):
+            is_top = level == 0
+            out_feats = self.out_channels if is_top else channels[level - 1]
+            if self._phase_stage_ok(y.shape, out_feats, strides[level]):
+                # run the whole stage in subpixel phase space: the
+                # conv_transpose's phase tensor carries the 2x-upsampled
+                # volume at input resolution; norm/act/3^3-convs/residual
+                # all run phase-major (exact), with ONE depth-to-space at
+                # the end. Differentiable (pure XLA) — used in training
+                # and eval; the tiny-C full-resolution stages were the
+                # most expensive part of both passes on TPU.
+                y = ConvUnit(
+                    out_feats,
+                    kernel_size=self.up_kernel_size,
+                    strides=strides[level],
+                    transposed=True,
+                    norm=self.norm,
+                    act=self.act,
+                    dropout=self.dropout,
+                    phase="out",
+                )(y, training, norm_axis)
+                y = ResidualUnit(
+                    out_feats,
+                    strides=1,
+                    kernel_size=self.kernel_size,
+                    subunits=1,
+                    last_conv_only=is_top,
+                    norm=self.norm,
+                    act=self.act,
+                    dropout=self.dropout,
+                    phase=True,
+                )(y, training, norm_axis)
+                y = fast_conv.depth_to_space(y, out_feats)
+                continue
+            for unit in self._up(out_feats, strides[level], is_top=is_top):
                 y = unit(y, training, norm_axis)
         return y
