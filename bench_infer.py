@@ -1,7 +1,7 @@
 """Secondary benchmark: sliding-window inference throughput (vols/min/chip).
 
 Runs the flagship 3D residual UNet over a typical head-MRI-sized volume
-(256x256x176, 8 classes) with roi 96^3, overlap 0.25, Gaussian blending —
+(256x256x176, 8 classes) with roi 96^3, sw-batch 16 (swept in exp/swbatch_ab.py), overlap 0.25, Gaussian blending —
 Pallas blend kernel on TPU — and prints one JSON line with volumes/minute
 per chip. (The driver's headline bench is bench.py; this one documents the
 inference-side number from BASELINE.md.)
@@ -53,7 +53,7 @@ def main() -> None:
 
     # warmup (compile)
     out = sliding_window_inference(
-        volume, roi, 4, predictor, overlap=0.25, num_classes=num_classes
+        volume, roi, 16, predictor, overlap=0.25, num_classes=num_classes
     )
     float(jnp.sum(out))
 
@@ -61,7 +61,7 @@ def main() -> None:
     for _ in range(5):
         t0 = time.perf_counter()
         out = sliding_window_inference(
-            volume, roi, 4, predictor, overlap=0.25, num_classes=num_classes
+            volume, roi, 16, predictor, overlap=0.25, num_classes=num_classes
         )
         float(jnp.sum(out))
         best = min(best, time.perf_counter() - t0)
