@@ -45,6 +45,7 @@ def segment_volume(
     sw_batch_size: int = 4,
     overlap: float = 0.25,
     mesh=None,
+    shard_volume: bool = False,
 ):
     """Segment ONE image: preprocess → sliding window → invert → argmax.
 
@@ -67,6 +68,7 @@ def segment_volume(
     logits = sliding_window_inference(
         img, model.spatial_size, sw_batch_size, predictor, overlap=overlap,
         mode="gaussian", num_classes=model.num_classes, mesh=mesh,
+        shard_volume=shard_volume,
     )
     logits = np.moveaxis(np.asarray(logits), -1, 0)  # (C, *spatial)
 

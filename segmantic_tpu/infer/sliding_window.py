@@ -193,6 +193,7 @@ def sliding_window_inference(
     use_pallas="auto",
     mesh=None,
     scan_chunks: bool = True,
+    shard_volume: bool = False,
 ) -> jax.Array:
     """Run tiled inference over an arbitrarily-sized volume.
 
@@ -202,8 +203,20 @@ def sliding_window_inference(
     With ``mesh``, window batches are sharded over the mesh's 'data' axis so
     the model forward fans out across chips (the spatial analog of context
     parallelism — SURVEY.md §2.9); windows are independent, so results are
-    identical to single-device execution.
+    identical to single-device execution. With ``shard_volume=True`` the
+    VOLUME (and accumulators) shard over 'data' instead — per-chip memory
+    is one slab + halo, scaling capacity with chips
+    (:func:`sliding_window_inference_sharded`).
     """
+    if mesh is not None and shard_volume:
+        n_data = int(mesh.shape["data"])
+        spatial0 = volume.shape[0] + max(roi_size[0] - volume.shape[0], 0)
+        if n_data > 1 and -(-spatial0 // n_data) >= roi_size[0]:
+            return sliding_window_inference_sharded(
+                volume, roi_size, sw_batch_size, predictor, mesh,
+                overlap=overlap, mode=mode, num_classes=num_classes,
+            )
+        # slabs thinner than the roi: fall through to window sharding
     # huge volumes (accumulators would not fit HBM): stream from host DRAM
     n_cls_est = num_classes if num_classes else 8
     est_bytes = int(np.prod(volume.shape[: len(roi_size)])) * 4 * (n_cls_est + 2)
@@ -393,6 +406,161 @@ def sliding_window_inference_streamed(
             acc[sl] += logits[j] * imp
             wacc[sl] += imp
 
+    out = acc / wacc
+    sl = tuple(slice(lo[a], lo[a] + spatial[a]) for a in range(nd)) + (slice(None),)
+    return out[sl]
+
+
+def _accumulate_masked(acc, weight_acc, logits, importance, starts, wmask):
+    """XLA scatter-add with a per-window weight mask (0 = padding window)."""
+    nd = starts.shape[1]
+
+    def body(i, carry):
+        acc_, w_ = carry
+        s = starts[i]
+        idx = tuple(s[a] for a in range(nd)) + (0,)
+        roi_c = logits.shape[1:]
+        imp_i = importance * wmask[i]
+        cur = jax.lax.dynamic_slice(acc_, idx, roi_c)
+        acc_ = jax.lax.dynamic_update_slice(
+            acc_, cur + logits[i] * imp_i[..., None], idx
+        )
+        wcur = jax.lax.dynamic_slice(w_, idx[:-1] + (0,), roi_c[:-1] + (1,))
+        w_ = jax.lax.dynamic_update_slice(
+            w_, wcur + imp_i[..., None], idx[:-1] + (0,)
+        )
+        return acc_, w_
+
+    return jax.lax.fori_loop(0, logits.shape[0], body, (acc, weight_acc))
+
+
+def sliding_window_inference_sharded(
+    volume,  # (*spatial, C) host array
+    roi_size: Sequence[int],
+    sw_batch_size: int,
+    predictor: Callable,
+    mesh,
+    overlap: float = 0.25,
+    mode: str = "gaussian",
+    num_classes: Optional[int] = None,
+) -> jax.Array:
+    """Whole-volume inference with the VOLUME sharded over the mesh's
+    'data' axis (spatial axis 0) — the multi-chip large-volume strategy:
+    per-chip HBM holds only its slab (+ a window-sized halo) and its slab's
+    accumulators, so volume capacity scales with the number of chips
+    (SURVEY.md §2.9/§5.7; the reference's only scaling is a Lightning GPU
+    list, src/segmantic/seg/monai_unet.py:529-538).
+
+    Windows are owned by the device their start row falls in; the one-hop
+    halo (next slab's first ``roi`` rows) arrives by ``ppermute`` over ICI,
+    each device blends its own windows locally (same grid and Gaussian
+    weights as the single-device path — results identical up to fp
+    summation order), and the accumulated window tails that spill into the
+    next slab return by a second ``ppermute``. Requires slab >= roi along
+    axis 0 (falls back to the window-sharded path otherwise).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = int(mesh.shape["data"])
+    nd = len(roi_size)
+    volume = np.asarray(volume)
+    spatial = volume.shape[:nd]
+    c_in = volume.shape[-1]
+    roi0 = roi_size[0]
+
+    pad = [max(roi_size[a] - spatial[a], 0) for a in range(nd)]
+    lo = [p // 2 for p in pad]
+    d_roi = spatial[0] + pad[0]
+    # the window grid comes from the roi-padded size — identical to the
+    # single-device grid; the slab padding below only adds dead rows
+    grid_size = tuple(spatial[a] + pad[a] for a in range(nd))
+    slab = max(-(-d_roi // n), roi0)
+    pad[0] += slab * n - d_roi
+    if any(pad):
+        widths = [(lo[a], pad[a] - lo[a]) for a in range(nd)] + [(0, 0)]
+        volume = np.pad(volume, widths)
+    padded = volume.shape[:nd]
+
+    if num_classes is None:
+        probe = predictor(
+            jnp.asarray(volume[tuple(slice(0, r) for r in roi_size)][None])
+        )
+        num_classes = int(np.asarray(probe).shape[-1])
+
+    starts = window_starts(grid_size, roi_size, overlap)
+    if mode == "gaussian":
+        importance = jnp.asarray(gaussian_importance(roi_size))
+    else:
+        importance = jnp.ones(tuple(roi_size), jnp.float32)
+
+    # group windows by owning slab; localize axis-0 starts
+    per_dev: List[List[Tuple[int, ...]]] = [[] for _ in range(n)]
+    for s in starts:
+        d = min(s[0] // slab, n - 1)
+        per_dev[d].append((s[0] - d * slab,) + tuple(s[1:]))
+    m = max(len(g) for g in per_dev)
+    m_pad = -(-m // sw_batch_size) * sw_batch_size
+    starts_arr = np.zeros((n, m_pad, nd), np.int32)
+    mask_arr = np.zeros((n, m_pad), np.float32)
+    for d, g in enumerate(per_dev):
+        if g:
+            starts_arr[d, : len(g)] = np.asarray(g, np.int32)
+            mask_arr[d, : len(g)] = 1.0
+    k = m_pad // sw_batch_size
+    chunks = starts_arr.reshape(n, k, sw_batch_size, nd)
+    masks = mask_arr.reshape(n, k, sw_batch_size)
+
+    vol_sharded = jax.device_put(
+        jnp.asarray(volume),
+        NamedSharding(mesh, P("data", *([None] * nd))),
+    )
+
+    fwd_perm = [(d, d + 1) for d in range(n - 1)]  # tails ride to the next slab
+    bwd_perm = [(d + 1, d) for d in range(n - 1)]  # halos come from the next slab
+
+    def run_body(vol_l, chunks_l, masks_l, importance):
+        chunks_l, masks_l = chunks_l[0], masks_l[0]
+        halo = jax.lax.ppermute(vol_l[:roi0], "data", bwd_perm)
+        ext = jnp.concatenate([vol_l, halo], axis=0)
+
+        acc = jnp.zeros((slab + roi0,) + tuple(padded[1:]) + (num_classes,),
+                        jnp.float32)
+        wacc = jnp.zeros((slab + roi0,) + tuple(padded[1:]) + (1,), jnp.float32)
+
+        def body(carry, xs):
+            chunk, msk = xs
+            windows = _gather_windows(ext, chunk, tuple(roi_size), nd)
+            logits = predictor(windows)
+            acc_, wacc_ = _accumulate_masked(
+                carry[0], carry[1], logits, importance, chunk, msk
+            )
+            return (acc_, wacc_), None
+
+        (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), (chunks_l, masks_l))
+
+        tail_a = jax.lax.ppermute(acc[slab:], "data", fwd_perm)
+        tail_w = jax.lax.ppermute(wacc[slab:], "data", fwd_perm)
+        acc = acc[:slab].at[:roi0].add(tail_a)
+        wacc = wacc[:slab].at[:roi0].add(tail_w)
+        return acc, wacc
+
+    specs = dict(
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P()),
+        out_specs=(P("data"), P("data")),
+    )
+    try:  # jax >= 0.8 names the replication check check_vma
+        run = shard_map(run_body, check_vma=False, **specs)
+    except TypeError:
+        run = shard_map(run_body, check_rep=False, **specs)
+
+    acc, wacc = jax.jit(run)(
+        vol_sharded, jnp.asarray(chunks), jnp.asarray(masks), importance
+    )
     out = acc / wacc
     sl = tuple(slice(lo[a], lo[a] + spatial[a]) for a in range(nd)) + (slice(None),)
     return out[sl]
