@@ -94,7 +94,7 @@ def main():
                 is_top = level == 0
                 feats = model.out_channels if is_top else channels[level - 1]
                 p, t = take("ConvUnit")
-                if ex._phase_stage_ok(y.shape, feats, nres, strides[level]):
+                if ex._phase_stage_ok(model, y.shape, feats, strides[level]):
                     p2, t2 = take("ResidualUnit")
                     y = ex._phase_stage(y, p, t, p2, t2, feats=feats,
                                         subunits=1, last_conv_only=is_top,

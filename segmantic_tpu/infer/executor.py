@@ -243,21 +243,17 @@ def _residual_unit(x, p, st, *, feats: int, strides: int, subunits: int,
     return y + residual.astype(y.dtype)
 
 
-def _phase_stage_ok(x_shape, c_out: int, nres: int, strides: int) -> bool:
+def _phase_stage_ok(module: UNet, x_shape, c_out: int, strides: int) -> bool:
     """Fuse a decoder (convT + residual-unit) stage entirely in subpixel
-    phase space? Mirrors UNet._phase_stage_ok (same env gates) so the
-    executor rewrites exactly the stages the flax graph phase-runs."""
-    if os.environ.get("SEGMANTIC_PHASE_TOP", "on").lower() in (
-        "0", "off", "false",
-    ):
-        return False
-    nd = len(x_shape) - 2
-    max_ph = int(os.environ.get("SEGMANTIC_PHASE_MAX", "128"))
-    return (
-        nres > 0
-        and strides == 2
-        and nd in (2, 3)
-        and (2**nd) * c_out <= max_ph
+    phase space? Delegates to the flax graph's own gate
+    (models/unet.py::phase_stage_ok) so the executor rewrites exactly the
+    stages module.apply phase-runs."""
+    from ..models.unet import phase_stage_ok
+
+    return phase_stage_ok(
+        len(x_shape) - 2, c_out, strides,
+        num_res_units=module.num_res_units, dropout=module.dropout,
+        kernel_size=module.kernel_size, up_kernel_size=module.up_kernel_size,
     )
 
 
@@ -378,7 +374,7 @@ def make_eval_forward(module: UNet, compute_dtype=jnp.bfloat16,
             is_top = level == 0
             feats = module.out_channels if is_top else channels[level - 1]
             p, t = take("ConvUnit")
-            if _phase_stage_ok(y.shape, feats, nres, strides[level]):
+            if _phase_stage_ok(module, y.shape, feats, strides[level]):
                 p2, t2 = take("ResidualUnit")
                 y = _phase_stage(
                     y, p, t, p2, t2, feats=feats, subunits=1,

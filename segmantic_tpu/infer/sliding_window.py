@@ -80,9 +80,9 @@ def _gather_windows(volume: jax.Array, starts: jax.Array, roi: Tuple[int, ...], 
     return jax.vmap(one)(starts)
 
 
-@jax.jit
-def _accumulate(acc, weight_acc, logits, importance, starts):
-    """XLA fallback: scatter-add logits*importance (and importance)."""
+def _accumulate_impl(acc, weight_acc, logits, importance, starts, wmask=None):
+    """Scatter-add logits*importance (and importance), optionally scaling
+    each window's importance by ``wmask[i]`` (0 = padding window)."""
     nd = starts.shape[1]
 
     def body(i, carry):
@@ -90,12 +90,13 @@ def _accumulate(acc, weight_acc, logits, importance, starts):
         s = starts[i]
         idx = tuple(s[a] for a in range(nd)) + (0,)
         roi_c = logits.shape[1:]
+        imp_i = importance if wmask is None else importance * wmask[i]
         cur = jax.lax.dynamic_slice(acc_, idx, roi_c)
-        upd = cur + logits[i] * importance[..., None]
+        upd = cur + logits[i] * imp_i[..., None]
         acc_ = jax.lax.dynamic_update_slice(acc_, upd, idx)
         wcur = jax.lax.dynamic_slice(w_, idx[:-1] + (0,), roi_c[:-1] + (1,))
         w_ = jax.lax.dynamic_update_slice(
-            w_, wcur + importance[..., None], idx[:-1] + (0,)
+            w_, wcur + imp_i[..., None], idx[:-1] + (0,)
         )
         return acc_, w_
 
@@ -103,18 +104,29 @@ def _accumulate(acc, weight_acc, logits, importance, starts):
 
 
 @jax.jit
-def _accumulate_weight(weight_acc, importance, starts):
-    """Weight-map-only accumulation (1/C of the traffic — stays on XLA)."""
+def _accumulate(acc, weight_acc, logits, importance, starts):
+    """XLA fallback: scatter-add logits*importance (and importance)."""
+    return _accumulate_impl(acc, weight_acc, logits, importance, starts)
+
+
+def _accumulate_weight_impl(weight_acc, importance, starts, wmask=None):
     nd = starts.shape[1]
 
     def body(i, w_):
         s = starts[i]
         idx = tuple(s[a] for a in range(nd)) + (0,)
         roi_c = importance.shape + (1,)
+        imp_i = importance if wmask is None else importance * wmask[i]
         wcur = jax.lax.dynamic_slice(w_, idx, roi_c)
-        return jax.lax.dynamic_update_slice(w_, wcur + importance[..., None], idx)
+        return jax.lax.dynamic_update_slice(w_, wcur + imp_i[..., None], idx)
 
     return jax.lax.fori_loop(0, starts.shape[0], body, weight_acc)
+
+
+@jax.jit
+def _accumulate_weight(weight_acc, importance, starts):
+    """Weight-map-only accumulation (1/C of the traffic — stays on XLA)."""
+    return _accumulate_weight_impl(weight_acc, importance, starts)
 
 
 _SCAN_CACHE: "weakref.WeakKeyDictionary" = None  # lazy-initialized below
@@ -412,26 +424,8 @@ def sliding_window_inference_streamed(
 
 
 def _accumulate_masked(acc, weight_acc, logits, importance, starts, wmask):
-    """XLA scatter-add with a per-window weight mask (0 = padding window)."""
-    nd = starts.shape[1]
-
-    def body(i, carry):
-        acc_, w_ = carry
-        s = starts[i]
-        idx = tuple(s[a] for a in range(nd)) + (0,)
-        roi_c = logits.shape[1:]
-        imp_i = importance * wmask[i]
-        cur = jax.lax.dynamic_slice(acc_, idx, roi_c)
-        acc_ = jax.lax.dynamic_update_slice(
-            acc_, cur + logits[i] * imp_i[..., None], idx
-        )
-        wcur = jax.lax.dynamic_slice(w_, idx[:-1] + (0,), roi_c[:-1] + (1,))
-        w_ = jax.lax.dynamic_update_slice(
-            w_, wcur + imp_i[..., None], idx[:-1] + (0,)
-        )
-        return acc_, w_
-
-    return jax.lax.fori_loop(0, logits.shape[0], body, (acc, weight_acc))
+    """:func:`_accumulate` with a per-window weight mask (0 = padding)."""
+    return _accumulate_impl(acc, weight_acc, logits, importance, starts, wmask)
 
 
 def sliding_window_inference_sharded(
@@ -443,6 +437,7 @@ def sliding_window_inference_sharded(
     overlap: float = 0.25,
     mode: str = "gaussian",
     num_classes: Optional[int] = None,
+    use_pallas="auto",
 ) -> jax.Array:
     """Whole-volume inference with the VOLUME sharded over the mesh's
     'data' axis (spatial axis 0) — the multi-chip large-volume strategy:
@@ -453,30 +448,54 @@ def sliding_window_inference_sharded(
 
     Windows are owned by the device their start row falls in; the one-hop
     halo (next slab's first ``roi`` rows) arrives by ``ppermute`` over ICI,
-    each device blends its own windows locally (same grid and Gaussian
-    weights as the single-device path — results identical up to fp
-    summation order), and the accumulated window tails that spill into the
-    next slab return by a second ``ppermute``. Requires slab >= roi along
-    axis 0 (falls back to the window-sharded path otherwise).
+    each device blends its own windows locally (Pallas blend kernel on
+    aligned TPU configurations; same grid and Gaussian weights as the
+    single-device path — results identical up to fp summation order), and
+    the accumulated window tails that spill into the next slab return by a
+    second ``ppermute``. Requires slab >= roi along axis 0 (falls back to
+    the window-sharded path otherwise). The host volume is device_put
+    directly onto the sharding — no single chip ever holds the whole
+    volume — and the compiled runner is cached per (predictor, config).
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = int(mesh.shape["data"])
     nd = len(roi_size)
     volume = np.asarray(volume)
     spatial = volume.shape[:nd]
-    c_in = volume.shape[-1]
     roi0 = roi_size[0]
+
+    if num_classes is None:
+        probe = predictor(
+            jnp.asarray(
+                np.pad(
+                    volume[tuple(slice(0, r) for r in roi_size)],
+                    [(0, max(roi_size[a] - spatial[a], 0)) for a in range(nd)]
+                    + [(0, 0)],
+                )[None]
+            )
+        )
+        num_classes = int(np.asarray(probe).shape[-1])
+
+    pallas_on, c_pad = _pallas_enabled(use_pallas, nd, roi_size, num_classes)
 
     pad = [max(roi_size[a] - spatial[a], 0) for a in range(nd)]
     lo = [p // 2 for p in pad]
+    if pallas_on:
+        # the blend kernel constrains starts on the sublane/lane axes
+        # (1, 2) only — axis-0 slab offsets are unconstrained, so the
+        # single-device alignment recipe carries over unchanged
+        q1, q2 = pallas_blend.alignment_quanta(c_pad)
+        align = (1, q1, q2)
+        for a, q in enumerate(align):
+            if q > 1:
+                pad[a] += (-(spatial[a] + pad[a])) % q
+    else:
+        align = None
+
     d_roi = spatial[0] + pad[0]
-    # the window grid comes from the roi-padded size — identical to the
-    # single-device grid; the slab padding below only adds dead rows
+    # the window grid comes from the roi/alignment-padded size — identical
+    # to the single-device grid; the slab padding below only adds dead rows
     grid_size = tuple(spatial[a] + pad[a] for a in range(nd))
     slab = max(-(-d_roi // n), roi0)
     pad[0] += slab * n - d_roi
@@ -485,13 +504,7 @@ def sliding_window_inference_sharded(
         volume = np.pad(volume, widths)
     padded = volume.shape[:nd]
 
-    if num_classes is None:
-        probe = predictor(
-            jnp.asarray(volume[tuple(slice(0, r) for r in roi_size)][None])
-        )
-        num_classes = int(np.asarray(probe).shape[-1])
-
-    starts = window_starts(grid_size, roi_size, overlap)
+    starts = window_starts(grid_size, roi_size, overlap, align=align)
     if mode == "gaussian":
         importance = jnp.asarray(gaussian_importance(roi_size))
     else:
@@ -514,30 +527,87 @@ def sliding_window_inference_sharded(
     chunks = starts_arr.reshape(n, k, sw_batch_size, nd)
     masks = mask_arr.reshape(n, k, sw_batch_size)
 
+    # shard host->device directly: no single chip holds the whole volume
     vol_sharded = jax.device_put(
-        jnp.asarray(volume),
-        NamedSharding(mesh, P("data", *([None] * nd))),
+        volume, NamedSharding(mesh, P("data", *([None] * nd)))
     )
 
-    fwd_perm = [(d, d + 1) for d in range(n - 1)]  # tails ride to the next slab
-    bwd_perm = [(d + 1, d) for d in range(n - 1)]  # halos come from the next slab
+    run = _sharded_runner(
+        predictor, mesh, tuple(roi_size), nd, n, slab, tuple(padded),
+        num_classes, pallas_on, c_pad,
+    )
+    acc, wacc = run(
+        vol_sharded, jnp.asarray(chunks), jnp.asarray(masks), importance
+    )
+    out = acc[..., :num_classes] / wacc
+    sl = tuple(slice(lo[a], lo[a] + spatial[a]) for a in range(nd)) + (slice(None),)
+    return out[sl]
+
+
+_SHARDED_CACHE = None  # WeakKeyDictionary, lazy like _SCAN_CACHE
+
+
+def _sharded_runner(predictor, mesh, roi, nd, n, slab, padded, n_classes,
+                    pallas_on, c_pad):
+    """Build (or fetch) the jitted shard_map runner for one static config.
+
+    Cached per predictor (weak) and per static config so repeated volumes
+    of the same shape reuse the compilation — the sharded analog of
+    :func:`_scanned_runner`."""
+    global _SHARDED_CACHE
+    import weakref
+
+    if _SHARDED_CACHE is None:
+        _SHARDED_CACHE = weakref.WeakKeyDictionary()
+    per_pred = _SHARDED_CACHE.setdefault(predictor, {})
+    key = (id(mesh), roi, nd, n, slab, padded, n_classes, pallas_on, c_pad)
+    if key in per_pred:
+        return per_pred[key]
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    roi0 = roi[0]
+    acc_classes = c_pad if pallas_on else n_classes
+    tile = pallas_blend.pick_tile(*roi, acc_classes) if pallas_on else None
+    fwd_perm = [(d, d + 1) for d in range(n - 1)]  # tails to the next slab
+    bwd_perm = [(d + 1, d) for d in range(n - 1)]  # halos from the next slab
 
     def run_body(vol_l, chunks_l, masks_l, importance):
         chunks_l, masks_l = chunks_l[0], masks_l[0]
         halo = jax.lax.ppermute(vol_l[:roi0], "data", bwd_perm)
         ext = jnp.concatenate([vol_l, halo], axis=0)
 
-        acc = jnp.zeros((slab + roi0,) + tuple(padded[1:]) + (num_classes,),
+        acc = jnp.zeros((slab + roi0,) + tuple(padded[1:]) + (acc_classes,),
                         jnp.float32)
         wacc = jnp.zeros((slab + roi0,) + tuple(padded[1:]) + (1,), jnp.float32)
 
         def body(carry, xs):
             chunk, msk = xs
-            windows = _gather_windows(ext, chunk, tuple(roi_size), nd)
+            windows = _gather_windows(ext, chunk, roi, nd)
             logits = predictor(windows)
-            acc_, wacc_ = _accumulate_masked(
-                carry[0], carry[1], logits, importance, chunk, msk
-            )
+            acc_, wacc_ = carry
+            if pallas_on:
+                # masked windows contribute zero through zeroed logits; the
+                # weight map gets the mask directly
+                logits = logits * msk[(...,) + (None,) * (logits.ndim - 1)]
+                if logits.shape[-1] < c_pad:
+                    logits = jnp.pad(
+                        logits,
+                        [(0, 0)] * (logits.ndim - 1)
+                        + [(0, c_pad - logits.shape[-1])],
+                    )
+                acc_ = pallas_blend.accumulate_windows_pallas(
+                    acc_, logits, importance, chunk, tile=tile
+                )
+                wacc_ = _accumulate_weight_impl(wacc_, importance, chunk, msk)
+            else:
+                acc_, wacc_ = _accumulate_masked(
+                    acc_, wacc_, logits, importance, chunk, msk
+                )
             return (acc_, wacc_), None
 
         (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), (chunks_l, masks_l))
@@ -557,13 +627,9 @@ def sliding_window_inference_sharded(
         run = shard_map(run_body, check_vma=False, **specs)
     except TypeError:
         run = shard_map(run_body, check_rep=False, **specs)
-
-    acc, wacc = jax.jit(run)(
-        vol_sharded, jnp.asarray(chunks), jnp.asarray(masks), importance
-    )
-    out = acc / wacc
-    sl = tuple(slice(lo[a], lo[a] + spatial[a]) for a in range(nd)) + (slice(None),)
-    return out[sl]
+    run = jax.jit(run)
+    per_pred[key] = run
+    return run
 
 
 class SlidingWindowInferer:

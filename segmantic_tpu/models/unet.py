@@ -24,6 +24,35 @@ from flax import linen as nn
 from ..ops import fast_conv, pallas_conv
 
 
+def phase_stage_ok(nd: int, out_feats: int, strides: int, *,
+                   num_res_units: int, dropout: float, kernel_size: int,
+                   up_kernel_size: int) -> bool:
+    """Run a decoder (convT + residual-unit) stage in subpixel phase
+    space? Gated to the measured win region (narrow stages, where the
+    full-resolution tiny-C convs are lowering-bound) and exactness
+    conditions. SEGMANTIC_PHASE_TOP=off disables; SEGMANTIC_PHASE_MAX
+    widens/narrows the phase-channel bound (default 128 = head + next
+    stage; swept in exp/phase_train_ab.py). The single source of truth
+    for this gate — the flax graph and the eval executor both consult it.
+    """
+    import os
+
+    if os.environ.get("SEGMANTIC_PHASE_TOP", "on").lower() in (
+        "0", "off", "false",
+    ):
+        return False
+    max_ph = int(os.environ.get("SEGMANTIC_PHASE_MAX", "128"))
+    return (
+        num_res_units > 0
+        and dropout == 0.0  # dropout masks would decorrelate
+        and strides == 2
+        and kernel_size == 3
+        and up_kernel_size == 3
+        and nd in (2, 3)
+        and (2**nd) * out_feats <= max_ph
+    )
+
+
 class DispatchConv3D(nn.Module):
     """Drop-in for ``nn.Conv`` (same param tree: kernel/bias, same init)
     that can route eligible stride-1 3^3 inference forwards through the
@@ -340,27 +369,10 @@ class UNet(nn.Module):
         )
 
     def _phase_stage_ok(self, x_shape, out_feats: int, strides: int) -> bool:
-        """Run a decoder (convT + residual-unit) stage in subpixel phase
-        space? Gated to the measured win region (narrow stages, where the
-        full-resolution tiny-C convs are lowering-bound) and exactness
-        conditions. SEGMANTIC_PHASE_TOP=off disables; SEGMANTIC_PHASE_MAX
-        widens/narrows the phase-channel bound (default 128 = head + next stage; swept in exp/phase_train_ab.py)."""
-        import os
-
-        if os.environ.get("SEGMANTIC_PHASE_TOP", "on").lower() in (
-            "0", "off", "false",
-        ):
-            return False
-        nd = len(x_shape) - 2
-        max_ph = int(os.environ.get("SEGMANTIC_PHASE_MAX", "128"))
-        return (
-            self.num_res_units > 0
-            and self.dropout == 0.0  # dropout masks would decorrelate
-            and strides == 2
-            and self.kernel_size == 3
-            and self.up_kernel_size == 3
-            and nd in (2, 3)
-            and (2**nd) * out_feats <= max_ph
+        return phase_stage_ok(
+            len(x_shape) - 2, out_feats, strides,
+            num_res_units=self.num_res_units, dropout=self.dropout,
+            kernel_size=self.kernel_size, up_kernel_size=self.up_kernel_size,
         )
 
     def _up(self, features: int, strides: int, is_top: bool):
