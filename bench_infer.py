@@ -66,6 +66,20 @@ def main() -> None:
         float(jnp.sum(out))
         best = min(best, time.perf_counter() - t0)
 
+    # device-resident variant: volume pre-staged, isolates compute from the
+    # host->device link (the tunnel here runs ~45 MB/volume at fluctuating
+    # bandwidth; PCIe-local hardware uploads the same volume in ~ms)
+    volume_dev = jnp.asarray(volume)
+    best_dev = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = sliding_window_inference(
+            volume_dev, roi, 16, predictor, overlap=0.25,
+            num_classes=num_classes
+        )
+        float(jnp.sum(out))
+        best_dev = min(best_dev, time.perf_counter() - t0)
+
     vols_per_min = 60.0 / best
     print(
         json.dumps(
@@ -74,6 +88,7 @@ def main() -> None:
                 "value": round(vols_per_min, 2),
                 "unit": "volumes(256x256x176)/min/chip",
                 "seconds_per_volume": round(best, 3),
+                "device_resident_vols_per_min": round(60.0 / best_dev, 2),
             }
         )
     )

@@ -642,12 +642,16 @@ class SlidingWindowInferer:
         overlap: float = 0.25,
         mode: str = "gaussian",
         use_pallas="auto",
+        mesh=None,
+        shard_volume: bool = False,
     ):
         self.roi_size = list(roi_size)
         self.sw_batch_size = sw_batch_size
         self.overlap = overlap
         self.mode = mode
         self.use_pallas = use_pallas
+        self.mesh = mesh
+        self.shard_volume = shard_volume
 
     def __call__(self, volume, predictor: Callable):
         return sliding_window_inference(
@@ -658,4 +662,6 @@ class SlidingWindowInferer:
             overlap=self.overlap,
             mode=self.mode,
             use_pallas=self.use_pallas,
+            mesh=self.mesh,
+            shard_volume=self.shard_volume,
         )
