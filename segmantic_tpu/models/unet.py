@@ -404,7 +404,16 @@ class UNet(nn.Module):
         return units
 
     @nn.compact
-    def __call__(self, x, training: bool = False, norm_axis: str | None = None):
+    def __call__(self, x, training: bool = False, norm_axis: str | None = None,
+                 phase_logits: bool = False):
+        """Forward. With ``phase_logits`` the output stays subpixel
+        phase-major at HALF resolution — (N, *S/2, 2^nd * out_channels),
+        phase-major channel order; ``fast_conv.depth_to_space`` of it is
+        the ordinary output. Voxel-permutation-invariant consumers (the
+        Dice training loss) use it to skip the final depth-to-space and
+        the full-resolution logits materialization entirely. Requires
+        even output dims; when the top stage did not run in phase space
+        the output is space-to-depth'd to keep the contract uniform."""
         if x.ndim != self.spatial_dims + 2:
             raise ValueError(
                 f"expected (N, *spatial[{self.spatial_dims}], C) input, got {x.shape}"
@@ -461,8 +470,12 @@ class UNet(nn.Module):
                     dropout=self.dropout,
                     phase=True,
                 )(y, training, norm_axis)
+                if is_top and phase_logits:
+                    return y
                 y = fast_conv.depth_to_space(y, out_feats)
                 continue
             for unit in self._up(out_feats, strides[level], is_top=is_top):
                 y = unit(y, training, norm_axis)
+        if phase_logits:
+            y = fast_conv.space_to_depth(y)
         return y

@@ -293,6 +293,12 @@ def depth_to_space(p: jax.Array, c_out: int) -> jax.Array:
     return _depth_to_space(p, c_out)
 
 
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """Public phase-major space-to-depth: (B, *S, C) -> (B, *S/2, 2^nd*C).
+    Inverse of :func:`depth_to_space` (even spatial dims required)."""
+    return _space_to_depth(x)
+
+
 def s2d_conv_s1(x: jax.Array, w: jax.Array, bias: jax.Array | None = None):
     """Stride-1 kernel-3 SAME conv for tiny C via block-space kernel-3 conv.
 

@@ -46,6 +46,26 @@ def dice_loss(
     return jnp.mean(1.0 - dice)
 
 
+def dice_loss_phase(
+    phase_logits: jax.Array,  # (N, *S/2, 2^nd * C) phase-major (models.unet)
+    phase_labels: jax.Array,  # (N, *S/2, 2^nd) int (space_to_depth of labels)
+    **kwargs,
+) -> jax.Array:
+    """:func:`dice_loss` evaluated directly on subpixel phase-major logits.
+
+    Dice sums are voxel-permutation-invariant, so
+    ``dice_loss_phase(s2d(logits), s2d(labels)) == dice_loss(logits,
+    labels)`` exactly — the training step uses this to consume the UNet's
+    ``phase_logits`` output and skip the final depth-to-space plus the
+    full-resolution logits materialization (models/unet.py phase stages).
+    """
+    n_phase = phase_labels.shape[-1]
+    num_classes = phase_logits.shape[-1] // n_phase
+    # expose phases as an extra spatial axis: (N, *S/2, 2^nd, C)
+    logits = phase_logits.reshape(phase_logits.shape[:-1] + (n_phase, num_classes))
+    return dice_loss(logits, phase_labels, **kwargs)
+
+
 def dice_ce_loss(
     logits: jax.Array,
     labels: jax.Array,

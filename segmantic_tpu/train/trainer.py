@@ -21,6 +21,7 @@ execution model:
 from __future__ import annotations
 
 import dataclasses
+import os
 import json
 import math
 import time
@@ -261,6 +262,30 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
         aug_cfg, interp_bf16=aug_cfg.interp_bf16 and mixed_precision
     )
 
+    # phase-major loss (opt-in): the Dice loss can consume the top phase
+    # stage's tensor directly — exact (Dice sums are voxel-permutation-
+    # invariant; test-pinned) — skipping the final depth-to-space and the
+    # full-resolution logits. Measured NEUTRAL on v5e (exp/phasedice_ab.py,
+    # 0.998x: XLA already fuses the d2s), so it defaults off; the hook
+    # stays for memory-limited heads (the half-res phase layout halves the
+    # live full-res activation set).
+    from ..models.unet import phase_stage_ok
+    from ..ops import fast_conv
+    from .losses import dice_loss_phase
+
+    use_phase_logits = (
+        os.environ.get("SEGMANTIC_PHASE_DICE", "off").lower()
+        in ("1", "on", "true")
+        and phase_stage_ok(
+            module.spatial_dims, module.out_channels,
+            module.strides[0] if module.strides else 1,
+            num_res_units=module.num_res_units, dropout=module.dropout,
+            kernel_size=module.kernel_size,
+            up_kernel_size=module.up_kernel_size,
+        )
+        and all(p % 2 == 0 for p in patch_size)
+    )
+
     def make_lag(use_axis: bool):
         axis = norm_axis if use_axis else None
 
@@ -274,8 +299,14 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
                         training=True,
                         mutable=["batch_stats"],
                         norm_axis=axis,
+                        phase_logits=use_phase_logits,
                     )
-                    return dice_loss(out, label), mutated.get(
+                    if use_phase_logits:
+                        label_ph = fast_conv.space_to_depth(label[..., None])
+                        loss = dice_loss_phase(out, label_ph)
+                    else:
+                        loss = dice_loss(out, label)
+                    return loss, mutated.get(
                         "batch_stats", batch_stats
                     )
 

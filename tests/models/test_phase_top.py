@@ -103,3 +103,71 @@ def test_phase_top_2d(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(on), np.asarray(off), atol=1e-4, rtol=1e-3
     )
+
+
+def test_phase_logits_output_and_loss(monkeypatch):
+    """phase_logits output: d2s(phase) == ordinary output, and the
+    phase-major Dice equals the full-resolution Dice exactly."""
+    from segmantic_tpu.ops import fast_conv
+    from segmantic_tpu.train.losses import dice_loss_phase
+
+    monkeypatch.setenv("SEGMANTIC_PHASE_TOP", "on")
+    model = _model()
+    shape = (2, 16, 16, 16, 1)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, 5, shape[:-1]).astype(np.int32))
+    variables = model.init(jax.random.key(3), x, training=False)
+
+    full = model.apply(variables, x, training=False)
+    ph = model.apply(variables, x, training=False, phase_logits=True)
+    assert ph.shape == (2, 8, 8, 8, 8 * 5)
+    np.testing.assert_allclose(
+        np.asarray(fast_conv.depth_to_space(ph, 5)), np.asarray(full),
+        atol=1e-6,
+    )
+
+    l_full = dice_loss(full, label)
+    l_ph = dice_loss_phase(ph, fast_conv.space_to_depth(label[..., None]))
+    np.testing.assert_allclose(float(l_ph), float(l_full), atol=1e-6)
+
+    # uniform contract when the top stage did NOT phase-run
+    monkeypatch.setenv("SEGMANTIC_PHASE_TOP", "off")
+    ph_off = model.apply(variables, x, training=False, phase_logits=True)
+    np.testing.assert_allclose(
+        np.asarray(fast_conv.depth_to_space(ph_off, 5)),
+        np.asarray(model.apply(variables, x, training=False)),
+        atol=1e-6,
+    )
+
+
+def test_train_step_phase_loss_matches(monkeypatch):
+    """The production train step's loss is unchanged by the phase-major
+    Dice path (same value, phase on vs off, identical init/batch)."""
+    import optax
+
+    from segmantic_tpu.train.trainer import make_train_step
+
+    model = _model()
+    patch = (16, 16, 16)
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(
+        rng.standard_normal((2, 24, 24, 24, 1)).astype(np.float32))
+    lbl = jnp.asarray(rng.integers(0, 5, (2, 24, 24, 24)).astype(np.int32))
+    key = jax.random.key(0)
+
+    from segmantic_tpu.train.augment import AugmentConfig
+
+    losses = {}
+    for tag in ("on", "off"):
+        monkeypatch.setenv("SEGMANTIC_PHASE_DICE", tag)
+        variables = model.init(
+            jax.random.key(7), jnp.zeros((1,) + patch + (1,)), training=False)
+        opt = optax.adam(1e-3)
+        step = make_train_step(model, opt, AugmentConfig(), patch,
+                               mixed_precision=False)
+        _, _, _, loss = step(variables["params"],
+                             variables.get("batch_stats", {}),
+                             opt.init(variables["params"]), img, lbl, key)
+        losses[tag] = float(loss)
+    np.testing.assert_allclose(losses["on"], losses["off"], atol=1e-5)
