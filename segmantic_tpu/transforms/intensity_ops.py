@@ -106,19 +106,34 @@ def gibbs_noise(x: jax.Array, alpha: jax.Array) -> jax.Array:
     """
     nd = x.ndim - 1
     axes = tuple(range(1, x.ndim))
-    k = jnp.fft.fftshift(jnp.fft.fftn(x, axes=axes), axes=axes)
-    # box (max-norm) cutoff so alpha=0 keeps the full k-space (identity)
-    dist = jnp.zeros(x.shape[1:], jnp.float32)
+    # real-input FFT at ~55% of the c2c FLOPs, no fftshift of the volume.
+    # The legacy box mask M is centered at (s-1)/2, which is ASYMMETRIC
+    # about DC on even axes; taking real(ifftn(M*K)) implicitly
+    # symmetrizes the spectrum, so the exact r2c equivalent applies the
+    # hermitian-symmetrized mask (M(f) + M(-f)) / 2 (values 0/0.5/1) —
+    # bit-matching the legacy shifted-c2c formulation (test-pinned).
+    k = jnp.fft.rfftn(x.astype(jnp.float32), axes=axes)
+    dist = jnp.zeros(k.shape[1:], jnp.float32)
+    dist_m = jnp.zeros(k.shape[1:], jnp.float32)
     for a, s in enumerate(x.shape[1:]):
         c = (s - 1) / 2.0
         coord = jnp.abs(jnp.arange(s, dtype=jnp.float32) - c) / jnp.maximum(c, 1.0)
-        dist = jnp.maximum(
-            dist, coord.reshape((1,) * a + (s,) + (1,) * (nd - a - 1))
-        )
+        coord = jnp.fft.ifftshift(coord)  # unshifted-frequency order
+        # the same coordinates evaluated at -f (frequency mirror)
+        coord_m = jnp.concatenate([coord[:1], coord[:0:-1]])
+        if a == nd - 1:
+            coord = coord[: s // 2 + 1]  # rfft half-spectrum
+            coord_m = coord_m[: s // 2 + 1]
+        shape_a = (1,) * a + (coord.shape[0],) + (1,) * (nd - a - 1)
+        dist = jnp.maximum(dist, coord.reshape(shape_a))
+        dist_m = jnp.maximum(dist_m, coord_m.reshape(shape_a))
     radius = jnp.maximum(1.0 - alpha, 1e-3)
-    mask = (dist <= radius).astype(k.dtype)
-    out = jnp.fft.ifftn(jnp.fft.ifftshift(k * mask[None], axes=axes), axes=axes)
-    return jnp.real(out).astype(x.dtype)
+    mask = 0.5 * (
+        (dist <= radius).astype(jnp.float32)
+        + (dist_m <= radius).astype(jnp.float32)
+    )
+    out = jnp.fft.irfftn(k * mask[None].astype(k.dtype), s=x.shape[1:], axes=axes)
+    return out.astype(x.dtype)
 
 
 def kspace_spike(
@@ -131,16 +146,26 @@ def kspace_spike(
     KSpaceSpikeNoise parametrizes via log-intensity too).
     """
     axes = tuple(range(1, x.ndim))
-    k = jnp.fft.fftshift(jnp.fft.fftn(x, axes=axes), axes=axes)
+    # no fftshift of the volume: the spike index maps into unshifted
+    # frequency order instead (|k| max and the ifft are shift-invariant)
+    k = jnp.fft.fftn(x, axes=axes)
     log_max = jnp.log(jnp.max(jnp.abs(k)) + 1e-12)
     spike_val = jnp.exp(log_max * intensity_factor)
 
     idx = tuple(
-        jnp.clip((loc_frac[a] * x.shape[1 + a]).astype(jnp.int32), 0, x.shape[1 + a] - 1)
+        (
+            jnp.clip(
+                (loc_frac[a] * x.shape[1 + a]).astype(jnp.int32),
+                0,
+                x.shape[1 + a] - 1,
+            )
+            - x.shape[1 + a] // 2
+        )
+        % x.shape[1 + a]
         for a in range(x.ndim - 1)
     )
     k = k.at[(slice(None),) + idx].set(spike_val.astype(k.dtype))
-    out = jnp.fft.ifftn(jnp.fft.ifftshift(k, axes=axes), axes=axes)
+    out = jnp.fft.ifftn(k, axes=axes)
     return jnp.real(out).astype(x.dtype)
 
 
