@@ -57,28 +57,22 @@ def main() -> None:
     )
     float(jnp.sum(out))
 
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = sliding_window_inference(
-            volume, roi, 16, predictor, overlap=0.25, num_classes=num_classes
-        )
-        float(jnp.sum(out))
-        best = min(best, time.perf_counter() - t0)
+    def best_of(vol, n=5):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = sliding_window_inference(
+                vol, roi, 16, predictor, overlap=0.25, num_classes=num_classes
+            )
+            float(jnp.sum(out))  # host-transfer fence (tunnel rule)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
+    best = best_of(volume)
     # device-resident variant: volume pre-staged, isolates compute from the
     # host->device link (the tunnel here runs ~45 MB/volume at fluctuating
     # bandwidth; PCIe-local hardware uploads the same volume in ~ms)
-    volume_dev = jnp.asarray(volume)
-    best_dev = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = sliding_window_inference(
-            volume_dev, roi, 16, predictor, overlap=0.25,
-            num_classes=num_classes
-        )
-        float(jnp.sum(out))
-        best_dev = min(best_dev, time.perf_counter() - t0)
+    best_dev = best_of(jnp.asarray(volume))
 
     vols_per_min = 60.0 / best
     print(

@@ -375,6 +375,17 @@ class UNet(nn.Module):
             kernel_size=self.kernel_size, up_kernel_size=self.up_kernel_size,
         )
 
+    def phase_top_ok(self) -> bool:
+        """Will the TOP decoder stage run in subpixel phase space? (Shape-
+        independent — decidable from the static config; the trainer's
+        phase-major Dice path consults this.)"""
+        return phase_stage_ok(
+            self.spatial_dims, self.out_channels,
+            self.strides[0] if self.strides else 1,
+            num_res_units=self.num_res_units, dropout=self.dropout,
+            kernel_size=self.kernel_size, up_kernel_size=self.up_kernel_size,
+        )
+
     def _up(self, features: int, strides: int, is_top: bool):
         units = [
             ConvUnit(
@@ -477,5 +488,10 @@ class UNet(nn.Module):
             for unit in self._up(out_feats, strides[level], is_top=is_top):
                 y = unit(y, training, norm_axis)
         if phase_logits:
+            if any(s % 2 for s in y.shape[1:-1]):
+                raise ValueError(
+                    "phase_logits=True requires even output spatial dims, "
+                    f"got {y.shape[1:-1]}"
+                )
             y = fast_conv.space_to_depth(y)
         return y

@@ -41,7 +41,7 @@ from ..image.labels import load_decathlon_tissuelist, load_tissue_list
 from ..infer.sliding_window import sliding_window_inference
 from ..metrics.overlap import confusion_matrix, dice_from_confusion
 from ..models.unet import UNet
-from ..ops import pallas_conv
+from ..ops import fast_conv, pallas_conv
 from ..parallel.mesh import make_mesh, put_batch, replicate
 from ..transforms import spatial as TS
 from ..transforms.base import Compose
@@ -49,7 +49,7 @@ from ..transforms.registry import build_pipeline
 from ..utils.json import PathEncoder
 from .augment import AugmentConfig, augment_batch
 from .checkpoint import TopKCheckpoints, load_checkpoint, save_checkpoint
-from .losses import dice_loss
+from .losses import dice_loss, dice_loss_phase
 from .optim import (
     DEFAULT_LR_SCHEDULING,
     DEFAULT_OPTIMIZER,
@@ -269,20 +269,10 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
     # 0.998x: XLA already fuses the d2s), so it defaults off; the hook
     # stays for memory-limited heads (the half-res phase layout halves the
     # live full-res activation set).
-    from ..models.unet import phase_stage_ok
-    from ..ops import fast_conv
-    from .losses import dice_loss_phase
-
     use_phase_logits = (
         os.environ.get("SEGMANTIC_PHASE_DICE", "off").lower()
         in ("1", "on", "true")
-        and phase_stage_ok(
-            module.spatial_dims, module.out_channels,
-            module.strides[0] if module.strides else 1,
-            num_res_units=module.num_res_units, dropout=module.dropout,
-            kernel_size=module.kernel_size,
-            up_kernel_size=module.up_kernel_size,
-        )
+        and module.phase_top_ok()
         and all(p % 2 == 0 for p in patch_size)
     )
 

@@ -158,6 +158,10 @@ def test_train_step_phase_loss_matches(monkeypatch):
 
     from segmantic_tpu.train.augment import AugmentConfig
 
+    # the gate must actually engage for this config, else both runs take
+    # the plain-dice path and the equality below is vacuous
+    assert model.phase_top_ok()
+
     losses = {}
     for tag in ("on", "off"):
         monkeypatch.setenv("SEGMANTIC_PHASE_DICE", tag)
