@@ -4,8 +4,9 @@ Runs the flagship 3D residual UNet (reference-default topology
 16-32-64-128-256, strides 2^4, batch norm, PReLU) with the production train
 step — fused on-device augmentation (spatial affine gather + intensity zoo
 + flips), dice loss, backward, Adam — on synthetic 96^3 patches in bf16
-mixed precision, effective batch 8 patches (the reference's
-batch_size=2 x num_samples=4). Prints ONE JSON line:
+mixed precision, effective batch 32 patches (TPU-right batch; the
+reference's GPU-memory-bound effective 8 = batch_size=2 x num_samples=4
+measures ~12% lower per voxel — exp/batch_sweep.py). Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"} where vs_baseline is against
 the 50k labeled voxels/sec/chip north-star (BASELINE.md).
 """
@@ -40,7 +41,9 @@ def main() -> None:
     patch = (96, 96, 96)
     margin = 24  # margin feeds fused rotation/zoom, like production
     margin_shape = tuple(p + 2 * margin for p in patch)
-    batch = 8  # reference effective patch batch (batch_size=2 x num_samples=4)
+    # TPU-right batch: 32 patches amortize fixed per-step cost (+14% over
+    # the reference's GPU-bound effective batch of 8; exp/batch_sweep.py)
+    batch = 32
     num_classes = 8
 
     model = UNet(
