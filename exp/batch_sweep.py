@@ -64,12 +64,12 @@ def main():
 
     res = {}
     for rep in ("", "2"):
-        for B in (8, 16, 32):
+        for B in (32, 48, 64):
             t = bench(B)
             res[(B, rep)] = t
             print(f"B={B:3d}{rep:1s} {t*1e3:8.2f} ms  "
                   f"{B*vox/t/1e6:7.1f} Mvox/s", flush=True)
-    for B in (8, 16, 32):
+    for B in (32, 48, 64):
         t = min(res[(B, "")], res[(B, "2")])
         print(f"best B={B}: {B*vox/t/1e6:.1f} Mvox/s", flush=True)
 
