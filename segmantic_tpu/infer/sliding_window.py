@@ -403,20 +403,33 @@ def sliding_window_inference_streamed(
     wacc = np.zeros(tuple(padded) + (1,), np.float32)
     imp = importance[..., None]
 
-    n = len(starts)
-    for i in range(0, n, sw_batch_size):
-        chunk = starts[i : i + sw_batch_size]
-        windows = np.stack(
+    def crop(chunk):
+        return np.stack(
             [
                 volume[tuple(slice(s[a], s[a] + roi_size[a]) for a in range(nd))]
                 for s in chunk
             ]
         )
-        logits = np.asarray(predictor(jnp.asarray(windows)), np.float32)
-        for j, s in enumerate(chunk):
-            sl = tuple(slice(s[a], s[a] + roi_size[a]) for a in range(nd))
-            acc[sl] += logits[j] * imp
-            wacc[sl] += imp
+
+    # one-deep software pipeline: jax dispatch is async, so launching the
+    # device forward for chunk k and only then cropping + uploading chunk
+    # k+1 (and blending k's logits on host after) overlaps host work and
+    # transfers with device compute — np.asarray is the only sync point
+    n = len(starts)
+    chunks = [starts[i : i + sw_batch_size] for i in range(0, n, sw_batch_size)]
+    pending = None  # (chunk, device logits future)
+    for chunk in chunks + [None]:
+        launched = None
+        if chunk is not None:
+            launched = (chunk, predictor(jnp.asarray(crop(chunk))))
+        if pending is not None:
+            done_chunk, fut = pending
+            logits = np.asarray(fut, np.float32)
+            for j, s in enumerate(done_chunk):
+                sl = tuple(slice(s[a], s[a] + roi_size[a]) for a in range(nd))
+                acc[sl] += logits[j] * imp
+                wacc[sl] += imp
+        pending = launched
 
     out = acc / wacc
     sl = tuple(slice(lo[a], lo[a] + spatial[a]) for a in range(nd)) + (slice(None),)
