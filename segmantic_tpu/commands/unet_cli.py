@@ -86,6 +86,8 @@ def cross_validate_cmd(config_file: Optional[Path], print_defaults: bool) -> Non
 @click.option("--num-channels", type=int, default=1)
 @click.option("--max-epochs", type=int, default=600)
 @click.option("--gpu-ids", type=int, multiple=True, default=(0,))
+@click.option("--model-parallel", type=int, default=1,
+              help="shard wide conv kernels over a 'model' mesh axis of this size")
 def train_cmd(
     datalist_file: Path,
     tissue_list: Optional[Path],
@@ -93,6 +95,7 @@ def train_cmd(
     num_channels: int,
     max_epochs: int,
     gpu_ids: tuple,
+    model_parallel: int,
 ) -> None:
     """Train UNet directly from flags."""
     from ..train import trainer
@@ -104,6 +107,7 @@ def train_cmd(
         max_epochs=max_epochs,
         output_dir=output_dir,
         gpu_ids=list(gpu_ids),
+        model_parallel=model_parallel,
     )
 
 

@@ -42,7 +42,7 @@ from ..infer.sliding_window import sliding_window_inference
 from ..metrics.overlap import confusion_matrix, dice_from_confusion
 from ..models.unet import UNet
 from ..ops import fast_conv, pallas_conv
-from ..parallel.mesh import make_mesh, put_batch, replicate
+from ..parallel.mesh import make_mesh, put_batch, replicate, shard_params
 from ..transforms import spatial as TS
 from ..transforms.base import Compose
 from ..transforms.registry import build_pipeline
@@ -450,6 +450,7 @@ def train(
     mixed_precision: bool = True,
     cache_rate: float = 1.0,
     gpu_ids: Sequence[int] = (0,),
+    model_parallel: int = 1,
     tissue_list: Optional[Path] = None,
     batch_size: int = 2,
     spacing: Sequence[float] = (),
@@ -463,6 +464,13 @@ def train(
     (reference: src/segmantic/seg/monai_unet.py:400-427); ``gpu_ids`` is
     accepted for config compatibility but device placement comes from the
     JAX mesh (all local devices on the 'data' axis).
+
+    ``model_parallel`` (TPU-native extra; the reference's only parallelism
+    is a Lightning GPU list, monai_unet.py:529-538) splits the mesh into
+    (data, model) axes: the batch shards over 'data' while wide conv
+    kernels and their optimizer moments shard Megatron-style over 'model'
+    (``parallel.mesh.shard_params``) — XLA inserts the tp collectives.
+    Use for decoders too wide for one chip's HBM.
     """
     optimizer_cfg = dict(DEFAULT_OPTIMIZER)
     optimizer_cfg.update(optimizer or {})
@@ -535,11 +543,23 @@ def train(
     aug_cfg = AugmentConfig(spatial=augment_spatial, intensity=augment_intensity)
 
     # --- mesh + step -------------------------------------------------------
-    mesh = make_mesh()
+    if model_parallel < 1 or jax.device_count() % model_parallel:
+        raise ValueError(
+            f"model_parallel={model_parallel} must divide the device count "
+            f"({jax.device_count()})"
+        )
+    mesh = make_mesh(model=model_parallel)
     opt = make_optimizer(optimizer_cfg)
-    params = replicate(mesh, model.variables["params"])
-    batch_stats = replicate(mesh, model.variables.get("batch_stats", {}))
-    opt_state = replicate(mesh, opt.init(params))
+    if model_parallel > 1:
+        # tensor-parallel placement: wide kernels shard over 'model'; the
+        # optimizer moments inherit the sharding from zeros_like(params)
+        params = shard_params(mesh, model.variables["params"])
+        batch_stats = shard_params(mesh, model.variables.get("batch_stats", {}))
+        opt_state = opt.init(params)
+    else:
+        params = replicate(mesh, model.variables["params"])
+        batch_stats = replicate(mesh, model.variables.get("batch_stats", {}))
+        opt_state = replicate(mesh, opt.init(params))
     train_step = make_train_step(
         model.module, opt, aug_cfg, patch_size, mixed_precision, mesh=mesh
     )
