@@ -54,6 +54,8 @@ def test_cross_validate_end_to_end(tmp_path):
         output_dir=out,
         config_files_dir=cfg_dir,
         num_splits=2,
+        # both folds in flight at once (the bounded subprocess pool)
+        max_parallel=2,
     )
 
     folds = sorted((out / "datafolds").glob("fold_*.json"))
