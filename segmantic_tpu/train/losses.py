@@ -10,8 +10,11 @@ included.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def dice_loss(
@@ -27,7 +30,32 @@ def dice_loss(
 
     logits: (N, *spatial, C); labels: (N, *spatial) integer or
     (N, *spatial, C) one-hot.
+
+    The production configuration (softmax + integer labels) runs through an
+    analytic custom VJP: plain autodiff carries the full-resolution f32
+    softmax probabilities (~0.9 GB at the flagship 32x96^3x8 batch) across
+    the fwd/bwd boundary, while the closed-form gradient keeps only the
+    per-(batch, class) sums and recomputes the softmax in the backward pass
+    as one fused elementwise sweep. Wall-time parity with autodiff
+    standalone (11.4 ms both, exp/dice_layout_ab.py); the win is the HBM
+    headroom for larger batches. Exactness is test-pinned against the
+    autodiff reference (tests/train/test_losses_metrics.py).
     """
+    if apply_softmax and labels.ndim == logits.ndim - 1:
+        return _dice_int(
+            logits, labels, include_background, float(smooth_nr), float(smooth_dr)
+        )
+    return _dice_reference(
+        logits, labels,
+        include_background=include_background,
+        smooth_nr=smooth_nr, smooth_dr=smooth_dr, apply_softmax=apply_softmax,
+    )
+
+
+def _dice_reference(
+    logits, labels, *, include_background, smooth_nr, smooth_dr, apply_softmax
+):
+    """Autodiff path (one-hot labels or pre-softmaxed inputs)."""
     num_classes = logits.shape[-1]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) if apply_softmax else logits
     if labels.ndim == logits.ndim - 1:
@@ -44,6 +72,61 @@ def dice_loss(
     denom = jnp.sum(probs, axis=spatial_axes) + jnp.sum(onehot, axis=spatial_axes)
     dice = (2.0 * intersection + smooth_nr) / (denom + smooth_dr)
     return jnp.mean(1.0 - dice)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _dice_int(logits, labels, include_background, smooth_nr, smooth_dr):
+    loss, _ = _dice_int_fwd(logits, labels, include_background, smooth_nr, smooth_dr)
+    return loss
+
+
+def _dice_int_fwd(logits, labels, include_background, smooth_nr, smooth_dr):
+    num_classes = logits.shape[-1]
+    spatial_axes = tuple(range(1, logits.ndim - 1))
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    p, y = (probs, onehot) if include_background else (probs[..., 1:], onehot[..., 1:])
+    intersection = jnp.sum(p * y, axis=spatial_axes)
+    denom = jnp.sum(p, axis=spatial_axes) + jnp.sum(y, axis=spatial_axes)
+    dice = (2.0 * intersection + smooth_nr) / (denom + smooth_dr)
+    loss = jnp.mean(1.0 - dice)
+    # residuals: the (already live) logits/labels + tiny per-(n, c) sums
+    return loss, (logits, labels, intersection, denom)
+
+
+def _dice_int_bwd(include_background, smooth_nr, smooth_dr, res, g):
+    logits, labels, intersection, denom = res
+    num_classes = logits.shape[-1]
+    n_spatial = logits.ndim - 2
+
+    # loss = mean over (n, c) cells of 1 - (2I+snr)/(D+sdr):
+    #   dL/dI = -(g/cells) *  2/(D+sdr)
+    #   dL/dD = +(g/cells) * (2I+snr)/(D+sdr)^2
+    inv = 1.0 / (denom + smooth_dr)
+    scale = g / intersection.size
+    d_inter = -scale * 2.0 * inv
+    d_denom = scale * (2.0 * intersection + smooth_nr) * inv * inv
+    if not include_background:
+        pad = [(0, 0)] * d_inter.ndim
+        pad[-1] = (1, 0)  # class 0 received no gradient
+        d_inter = jnp.pad(d_inter, pad)
+        d_denom = jnp.pad(d_denom, pad)
+
+    bshape = (logits.shape[0],) + (1,) * n_spatial + (num_classes,)
+    d_inter = d_inter.reshape(bshape)
+    d_denom = d_denom.reshape(bshape)
+
+    # one fused sweep: recompute probs, dprobs = dI*onehot + dD, softmax vjp
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    d_probs = d_inter * onehot + d_denom
+    inner = jnp.sum(probs * d_probs, axis=-1, keepdims=True)
+    d_logits = (probs * (d_probs - inner)).astype(logits.dtype)
+    d_labels = np.zeros(labels.shape, dtype=jax.dtypes.float0)
+    return (d_logits, d_labels)
+
+
+_dice_int.defvjp(_dice_int_fwd, _dice_int_bwd)
 
 
 def dice_loss_phase(

@@ -99,3 +99,48 @@ def test_hausdorff_respects_spacing():
     r2 = hausdorff_surface_distance(a, b, spacing=(1.0, 2.5))
     assert r1["max"] == pytest.approx(2.0)
     assert r2["max"] == pytest.approx(5.0)
+
+
+def test_dice_custom_vjp_matches_autodiff():
+    """The analytic dice gradient (custom VJP, production int-label path)
+    must match plain autodiff of the reference formulation."""
+    import numpy as np
+
+    from segmantic_tpu.train.losses import _dice_reference
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((2, 6, 6, 6, 4)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, (2, 6, 6, 6)), jnp.int32)
+
+    for include_bg in (True, False):
+        ref = _dice_reference(
+            logits, labels, include_background=include_bg,
+            smooth_nr=1e-5, smooth_dr=1e-5, apply_softmax=True,
+        )
+        fast = dice_loss(logits, labels, include_background=include_bg)
+        np.testing.assert_allclose(float(fast), float(ref), rtol=1e-6)
+
+        g_ref = jax.grad(
+            lambda l: _dice_reference(
+                l, labels, include_background=include_bg,
+                smooth_nr=1e-5, smooth_dr=1e-5, apply_softmax=True,
+            )
+        )(logits)
+        g_fast = jax.grad(
+            lambda l: dice_loss(l, labels, include_background=include_bg)
+        )(logits)
+        np.testing.assert_allclose(
+            np.asarray(g_fast), np.asarray(g_ref), rtol=1e-5, atol=1e-8
+        )
+
+
+def test_dice_custom_vjp_bf16_and_jit():
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.bfloat16)
+    labels = jnp.asarray(rng.integers(0, 3, (1, 8, 8)), jnp.int32)
+    v, g = jax.jit(jax.value_and_grad(lambda l: dice_loss(l, labels)))(logits)
+    assert np.isfinite(float(v))
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, np.float32)).all()
