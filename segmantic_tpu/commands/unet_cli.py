@@ -88,6 +88,10 @@ def cross_validate_cmd(config_file: Optional[Path], print_defaults: bool) -> Non
 @click.option("--gpu-ids", type=int, multiple=True, default=(0,))
 @click.option("--model-parallel", type=int, default=1,
               help="shard wide conv kernels over a 'model' mesh axis of this size")
+@click.option("--accumulate-steps", type=int, default=1,
+              help="average gradients over this many micro-batches per update")
+@click.option("--remat/--no-remat", default=False,
+              help="rematerialize the forward in backward to save HBM")
 def train_cmd(
     datalist_file: Path,
     tissue_list: Optional[Path],
@@ -96,6 +100,8 @@ def train_cmd(
     max_epochs: int,
     gpu_ids: tuple,
     model_parallel: int,
+    accumulate_steps: int,
+    remat: bool,
 ) -> None:
     """Train UNet directly from flags."""
     from ..train import trainer
@@ -108,6 +114,8 @@ def train_cmd(
         output_dir=output_dir,
         gpu_ids=list(gpu_ids),
         model_parallel=model_parallel,
+        accumulate_steps=accumulate_steps,
+        remat=remat,
     )
 
 

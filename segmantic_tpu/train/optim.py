@@ -65,9 +65,13 @@ def make_optimizer(config: Optional[Dict[str, Any]] = None) -> optax.GradientTra
 
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning rate inside an optax state (no recompile:
-    the schedule feeds a traced scalar, not a new constant)."""
+    the schedule feeds a traced scalar, not a new constant). Unwraps a
+    gradient-accumulation ``MultiStepsState`` wrapper transparently."""
     import jax.numpy as jnp
 
+    if isinstance(opt_state, optax.MultiStepsState):
+        inner = set_learning_rate(opt_state.inner_opt_state, lr)
+        return opt_state._replace(inner_opt_state=inner)
     current = opt_state.hyperparams["learning_rate"]
     dtype = getattr(current, "dtype", jnp.float32)
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=dtype)

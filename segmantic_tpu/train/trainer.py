@@ -238,7 +238,7 @@ def _resolve_num_classes(
 
 
 def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
-                    mixed_precision: bool, mesh=None):
+                    mixed_precision: bool, mesh=None, remat: bool = False):
     """Build the jitted train step: fused device augmentation + fwd/bwd +
     optax update; donates params/opt_state to avoid HBM copies.
 
@@ -279,18 +279,27 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
     def make_lag(use_axis: bool):
         axis = norm_axis if use_axis else None
 
+        def apply_model(p, bs, im):
+            return module.apply(
+                {"params": p, "batch_stats": bs},
+                im,
+                training=True,
+                mutable=["batch_stats"],
+                norm_axis=axis,
+                phase_logits=use_phase_logits,
+            )
+
+        if remat:
+            # rematerialize the whole forward in the backward pass: trades
+            # ~one extra forward of FLOPs for not keeping activations live —
+            # the standard XLA recipe for patches/models too big for HBM
+            apply_model = jax.checkpoint(apply_model)
+
         def loss_and_grads(params, batch_stats, image, label):
             with pallas_conv.packed_routing(True if use_axis else None):
 
                 def loss_fn(p):
-                    out, mutated = module.apply(
-                        {"params": p, "batch_stats": batch_stats},
-                        image,
-                        training=True,
-                        mutable=["batch_stats"],
-                        norm_axis=axis,
-                        phase_logits=use_phase_logits,
-                    )
+                    out, mutated = apply_model(p, batch_stats, image)
                     if use_phase_logits:
                         label_ph = fast_conv.space_to_depth(label[..., None])
                         loss = dice_loss_phase(out, label_ph)
@@ -451,6 +460,8 @@ def train(
     cache_rate: float = 1.0,
     gpu_ids: Sequence[int] = (0,),
     model_parallel: int = 1,
+    accumulate_steps: int = 1,
+    remat: bool = False,
     tissue_list: Optional[Path] = None,
     batch_size: int = 2,
     spacing: Sequence[float] = (),
@@ -471,6 +482,13 @@ def train(
     kernels and their optimizer moments shard Megatron-style over 'model'
     (``parallel.mesh.shard_params``) — XLA inserts the tp collectives.
     Use for decoders too wide for one chip's HBM.
+
+    ``accumulate_steps`` (extra) averages gradients over that many
+    micro-batches before each optimizer update (optax.MultiSteps) — large
+    effective batches without the HBM. ``remat`` (extra) rematerializes the
+    forward during backward (jax.checkpoint): ~one extra forward of FLOPs
+    buys training patches/models whose activations don't fit otherwise.
+    Both are exact (gradient-equivalence tested).
     """
     optimizer_cfg = dict(DEFAULT_OPTIMIZER)
     optimizer_cfg.update(optimizer or {})
@@ -550,6 +568,8 @@ def train(
         )
     mesh = make_mesh(model=model_parallel)
     opt = make_optimizer(optimizer_cfg)
+    if accumulate_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=int(accumulate_steps))
     if model_parallel > 1:
         # tensor-parallel placement: wide kernels shard over 'model'; the
         # optimizer moments inherit the sharding from zeros_like(params)
@@ -561,7 +581,8 @@ def train(
         batch_stats = replicate(mesh, model.variables.get("batch_stats", {}))
         opt_state = replicate(mesh, opt.init(params))
     train_step = make_train_step(
-        model.module, opt, aug_cfg, patch_size, mixed_precision, mesh=mesh
+        model.module, opt, aug_cfg, patch_size, mixed_precision, mesh=mesh,
+        remat=remat,
     )
 
     scheduler = LRScheduler(optimizer_cfg["lr"], scheduler_cfg)
