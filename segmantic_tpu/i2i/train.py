@@ -50,6 +50,7 @@ def train_pix2pix(
     seed: int = 0,
     output_dir: Optional[Path] = None,
     log_every: int = 100,
+    extra_hparams: Optional[Dict] = None,
 ) -> I2IResult:
     """Paired translation: generator(src) ≈ dst with LSGAN + L1.
 
@@ -139,6 +140,7 @@ def train_pix2pix(
                 "out_channels": dst0.shape[-1],
                 "base_features": base_features,
                 "n_blocks": n_blocks,
+                **(extra_hparams or {}),
             },
             metrics=history[-1] if history else {},
         )
@@ -156,6 +158,7 @@ def train_cyclegan(
     seed: int = 0,
     output_dir: Optional[Path] = None,
     log_every: int = 100,
+    extra_hparams: Optional[Dict] = None,
 ) -> I2IResult:
     """Unpaired translation: G_AB/G_BA + D_A/D_B with cycle + identity.
 
@@ -262,6 +265,7 @@ def train_cyclegan(
                 "n_blocks": n_blocks,
                 "a_channels": a0.shape[-1],
                 "b_channels": b0.shape[-1],
+                **(extra_hparams or {}),
             },
             metrics=history[-1] if history else {},
         )
