@@ -30,7 +30,6 @@ def _paired_dataset(
     batch_size: int,
     slice_axis: int,
     spacing: Tuple[float, ...],
-    paired: bool,
     seed: int,
 ):
     from ..i2i.data import PairedSliceDataset
@@ -47,7 +46,6 @@ def _paired_dataset(
         batch_size=batch_size,
         axis=slice_axis,
         spacing=tuple(spacing) if spacing else None,
-        paired=paired,
         seed=seed,
     )
 
@@ -101,7 +99,7 @@ def pix2pix_cmd(
     from ..i2i.train import train_pix2pix
 
     data = _paired_dataset(
-        source, target, batch_size, slice_axis, spacing, paired=True, seed=seed
+        source, target, batch_size, slice_axis, spacing, seed=seed
     )
     click.echo(
         f"pix2pix: {data.num_slices} slices @ {data.slice_shape}, "
@@ -148,14 +146,27 @@ def cyclegan_cmd(
 ) -> None:
     """Train an unpaired CycleGAN between two volume domains.
 
-    The globs need not be stem-matched for CycleGAN semantics, but the
-    pipeline still aligns stems when it can (a mixed list also works:
-    unmatched files are dropped with a notice).
+    The two globs are independent — no stem matching is required (CycleGAN
+    is an unpaired method); every volume each glob hits joins its domain.
     """
+    from ..i2i.data import UnpairedSliceDataset
     from ..i2i.train import train_cyclegan
 
-    data = _paired_dataset(
-        source, target, batch_size, slice_axis, spacing, paired=False, seed=seed
+    a_glob, b_glob = Path(source), Path(target)
+    a_files = sorted(a_glob.parent.glob(a_glob.name))
+    b_files = sorted(b_glob.parent.glob(b_glob.name))
+    if not a_files or not b_files:
+        raise click.UsageError(
+            f"empty domain: {source!r} -> {len(a_files)} file(s), "
+            f"{target!r} -> {len(b_files)} file(s)"
+        )
+    data = UnpairedSliceDataset(
+        a_files,
+        b_files,
+        batch_size=batch_size,
+        axis=slice_axis,
+        spacing=tuple(spacing) if spacing else None,
+        seed=seed,
     )
     click.echo(
         f"cyclegan: {data.num_slices} slices @ {data.slice_shape}, "

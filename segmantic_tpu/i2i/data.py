@@ -234,6 +234,104 @@ class PairedSliceDataset:
             yield self.src[sel_a], self.dst[sel_b]
 
 
+class UnpairedSliceDataset:
+    """Slice batches from two independent volume domains (CycleGAN).
+
+    Unlike :class:`PairedSliceDataset` there is no correspondence between
+    the domains: each file list is loaded, optionally respaced onto its own
+    grid, windowed, and sliced independently; batches sample each domain
+    with its own shuffle. Slice geometry is the union static shape.
+    """
+
+    def __init__(
+        self,
+        a_files: Sequence[Path],
+        b_files: Sequence[Path],
+        batch_size: int = 16,
+        axis: int = 2,
+        slice_shape: Optional[Tuple[int, int]] = None,
+        spacing: Optional[Sequence[float]] = None,
+        min_content: float = 0.01,
+        low_pct: float = 0.5,
+        high_pct: float = 99.5,
+        seed: int = 0,
+        on_device_resample: bool = False,
+    ) -> None:
+        if not a_files or not b_files:
+            raise ValueError("UnpairedSliceDataset needs volumes in both domains")
+        self.batch_size = int(batch_size)
+        self.axis = int(axis)
+        self._seed = int(seed)
+        self._epoch = 0
+
+        def load_domain(files):
+            stacks, windows = [], []
+            for path in files:
+                vol = read_volume(Path(path))
+                if vol.ndim_spatial != 3:
+                    raise ValueError("i2i slice pipeline expects 3D volumes")
+                if spacing is not None:
+                    out_aff, out_shape = output_affine_for_spacing(
+                        vol.affine, vol.spatial_shape, tuple(spacing)[:3]
+                    )
+                    vol = vol.with_data(
+                        _resample_onto(vol, out_aff, out_shape, on_device_resample),
+                        out_aff,
+                    )
+                raw = _slices(vol.numpy().astype(np.float32), self.axis)
+                if min_content > 0:
+                    keep = np.mean(np.abs(raw) > 1e-6, axis=(1, 2, 3)) >= min_content
+                    if keep.any():
+                        raw = raw[keep]
+                scaled, win = scale_to_tanh(raw, low_pct, high_pct)
+                stacks.append(scaled)
+                windows.append(win)
+            return stacks, tuple(float(v) for v in np.mean(windows, axis=0))
+
+        a_stacks, self.source_window = load_domain(a_files)
+        b_stacks, self.target_window = load_domain(b_files)
+
+        if slice_shape is None:
+            h = max(s.shape[1] for s in a_stacks + b_stacks)
+            w = max(s.shape[2] for s in a_stacks + b_stacks)
+            slice_shape = (_round_up(h, 4), _round_up(w, 4))
+        self.slice_shape = (int(slice_shape[0]), int(slice_shape[1]))
+        self.src = np.concatenate(
+            [_fit_shape(s, self.slice_shape) for s in a_stacks], axis=0
+        )
+        self.dst = np.concatenate(
+            [_fit_shape(s, self.slice_shape) for s in b_stacks], axis=0
+        )
+
+    @property
+    def num_slices(self) -> int:
+        return int(min(self.src.shape[0], self.dst.shape[0]))
+
+    def __len__(self) -> int:
+        return max(1, self.num_slices // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        epoch = self._epoch
+        self._epoch += 1
+        rng = np.random.default_rng(self._seed + 7919 * epoch)
+        bs = self.batch_size
+
+        def order(n):
+            o = rng.permutation(n)
+            if n < bs:
+                o = np.tile(o, -(-bs // n))
+            return o
+
+        order_a, order_b = order(len(self.src)), order(len(self.dst))
+        n = min(len(order_a), len(order_b))
+        for i in range(max(n // bs, 1)):
+            sel_a = order_a[i * bs : (i + 1) * bs]
+            sel_b = order_b[i * bs : (i + 1) * bs]
+            if len(sel_a) < bs or len(sel_b) < bs:
+                break
+            yield self.src[sel_a], self.dst[sel_b]
+
+
 def translate_volume(
     apply_fn: Callable[[np.ndarray], np.ndarray],
     vol: Volume,

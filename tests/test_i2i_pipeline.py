@@ -146,15 +146,45 @@ def test_i2i_cli_end_to_end(tmp_path: Path):
     assert moved.numpy().min() >= lo - 1e-3 and moved.numpy().max() <= hi + 1e-3
 
 
+def test_unpaired_slice_dataset(tmp_path: Path):
+    rng = np.random.default_rng(11)
+    aff = affine_from_spacing_origin((1.0, 1.0, 1.0))
+    # deliberately non-matching stems and different shapes per domain
+    a = tmp_path / "subjA.nii.gz"
+    b = tmp_path / "scan99.nii.gz"
+    write_volume(a, Volume(rng.uniform(0, 5, (10, 12, 4)).astype(np.float32)[None], aff))
+    write_volume(b, Volume(rng.uniform(0, 9, (14, 8, 6)).astype(np.float32)[None], aff))
+    from segmantic_tpu.i2i.data import UnpairedSliceDataset
+
+    ds = UnpairedSliceDataset([a], [b], batch_size=3, axis=2, min_content=0.0)
+    assert all(s % 4 == 0 for s in ds.slice_shape)
+    batches = list(ds)
+    assert batches, "expected at least one batch"
+    for xa, xb in batches:
+        assert xa.shape == (3,) + ds.slice_shape + (1,)
+        assert xb.shape == xa.shape
+
+
 def test_cyclegan_cli_smoke(tmp_path: Path):
     data_dir = tmp_path / "data"
     data_dir.mkdir()
-    _make_pair(data_dir, "s", shape=(12, 12, 4), seed=9)
+    # unpaired domains: stems deliberately do NOT match
+    rng = np.random.default_rng(9)
+    aff = affine_from_spacing_origin((1.0, 1.0, 2.0))
+    for i in range(2):
+        write_volume(
+            data_dir / f"domA_{i}.nii.gz",
+            Volume(rng.uniform(0, 800, (12, 12, 4)).astype(np.float32)[None], aff),
+        )
+        write_volume(
+            data_dir / f"other{i}_B.nii.gz",
+            Volume(rng.uniform(0, 400, (12, 12, 4)).astype(np.float32)[None], aff),
+        )
     out_dir = tmp_path / "cg"
     result = CliRunner().invoke(app, [
         "cyclegan",
-        "-s", str(data_dir / "*_t1.nii.gz"),
-        "-t", str(data_dir / "*_t2.nii.gz"),
+        "-s", str(data_dir / "domA_*.nii.gz"),
+        "-t", str(data_dir / "other*_B.nii.gz"),
         "-r", str(out_dir),
         "--steps", "2", "--batch-size", "2",
         "--base-features", "4", "--n-blocks", "1",
