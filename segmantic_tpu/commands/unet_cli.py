@@ -92,6 +92,8 @@ def cross_validate_cmd(config_file: Optional[Path], print_defaults: bool) -> Non
               help="average gradients over this many micro-batches per update")
 @click.option("--remat/--no-remat", default=False,
               help="rematerialize the forward in backward to save HBM")
+@click.option("--zero-optimizer/--no-zero-optimizer", default=False,
+              help="ZeRO-1: shard optimizer moments over the data axis")
 def train_cmd(
     datalist_file: Path,
     tissue_list: Optional[Path],
@@ -102,6 +104,7 @@ def train_cmd(
     model_parallel: int,
     accumulate_steps: int,
     remat: bool,
+    zero_optimizer: bool,
 ) -> None:
     """Train UNet directly from flags."""
     from ..train import trainer
@@ -116,6 +119,7 @@ def train_cmd(
         model_parallel=model_parallel,
         accumulate_steps=accumulate_steps,
         remat=remat,
+        zero_optimizer=zero_optimizer,
     )
 
 

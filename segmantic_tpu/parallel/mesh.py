@@ -103,6 +103,44 @@ def shard_params(mesh: Mesh, params: Any, min_features: int = 64) -> Any:
     )
 
 
+def zero_placement(mesh: Mesh, x: Any) -> NamedSharding:
+    """ZeRO-1 placement for one optimizer-state (or gradient) leaf.
+
+    Shards the leaf's largest 'data'-divisible axis over the mesh's ``data``
+    axis; scalars and indivisible leaves replicate. Shape-only decision, so
+    it works on traced values inside jit as well as on concrete arrays.
+    """
+    n_data = int(mesh.shape["data"])
+    ndim = getattr(x, "ndim", 0)
+    if n_data > 1 and ndim >= 1:
+        shape = x.shape
+        divisible = [
+            i for i in range(ndim) if shape[i] >= n_data and shape[i] % n_data == 0
+        ]
+        if divisible:
+            axis = max(divisible, key=lambda i: shape[i])
+            spec = [None] * ndim
+            spec[axis] = "data"
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def shard_opt_state(mesh: Mesh, opt_state: Any) -> Any:
+    """ZeRO-1: partition optimizer state (Adam moments, etc.) over 'data'.
+
+    Each device holds 1/N of every shardable moment tensor instead of a
+    full replica — optimizer memory scales down with the data-parallel
+    size. The train step keeps gradients in the same layout through the
+    update (reduce-scatter + sharded update + param all-gather; XLA derives
+    the collectives from the sharding constraints). The reference has no
+    distributed optimizer at all (its only parallelism is a Lightning GPU
+    list, reference: src/segmantic/seg/monai_unet.py:529-538).
+    """
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, zero_placement(mesh, x)), opt_state
+    )
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a pytree of host arrays with the batch axis sharded over
     'data' (per-host loaders feed their local shard; replaces DDP samplers)."""
@@ -113,8 +151,17 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 
 def put_batch(mesh: Mesh, x: Any) -> Any:
     """Shard the leading axis over 'data' when divisible; replicate otherwise
-    (tiny debug batches still run, production batches shard)."""
+    (tiny debug batches still run, production batches shard).
+
+    Multi-host: each process passes its LOCAL batch rows and the result is
+    the global array (global batch = local batch x process count), i.e. the
+    per-host loading that replaces DDP samplers (SURVEY.md §5.8).
+    """
     n_data = mesh.shape["data"]
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh, x.ndim), np.asarray(x)
+        )
     if x.shape[0] % n_data == 0:
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
     return jax.device_put(x, NamedSharding(mesh, P()))

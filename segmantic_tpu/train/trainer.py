@@ -42,7 +42,15 @@ from ..infer.sliding_window import sliding_window_inference
 from ..metrics.overlap import confusion_matrix, dice_from_confusion
 from ..models.unet import UNet
 from ..ops import fast_conv, pallas_conv
-from ..parallel.mesh import make_mesh, put_batch, replicate, shard_params
+from ..parallel.mesh import (
+    make_mesh,
+    put_batch,
+    replicate,
+    shard_opt_state,
+    shard_params,
+    zero_placement,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
 from ..transforms import spatial as TS
 from ..transforms.base import Compose
 from ..transforms.registry import build_pipeline
@@ -238,7 +246,8 @@ def _resolve_num_classes(
 
 
 def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
-                    mixed_precision: bool, mesh=None, remat: bool = False):
+                    mixed_precision: bool, mesh=None, remat: bool = False,
+                    zero: bool = False):
     """Build the jitted train step: fused device augmentation + fwd/bwd +
     optax update; donates params/opt_state to avoid HBM copies.
 
@@ -250,11 +259,24 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
     the GSPMD-partitioned step, but the per-shard body sees LOCAL shapes,
     which lets the batch-packed Pallas convs route on multi-device meshes
     (a pallas_call inside a GSPMD jit cannot be partitioned). Tensor-
-    parallel meshes (model axis > 1) keep the GSPMD step."""
+    parallel meshes (model axis > 1) keep the GSPMD step.
+
+    ``zero`` (ZeRO-1): the optimizer state is partitioned over 'data'
+    (``parallel.mesh.shard_opt_state``) and the update runs shardwise —
+    gradients are constrained to the same partition (XLA lowers the
+    gradient reduction to reduce-scatter), each device updates its 1/N
+    slice of the moments, and the fresh params are constrained back to
+    replicated (all-gather). Same total collective bytes as a plain
+    all-reduce (reduce-scatter + all-gather), 1/N the optimizer memory
+    and update FLOPs per device. Exact — test-pinned against the
+    replicated update."""
     dp_size = int(mesh.shape.get("data", 1)) if mesh is not None else 1
     shard_grads = (
         mesh is not None and int(mesh.shape.get("model", 1)) == 1 and dp_size > 1
     )
+    use_zero = bool(zero) and mesh is not None and dp_size > 1
+    if zero and not use_zero:
+        raise ValueError("zero=True needs a mesh with a data axis > 1")
     norm_axis = "data" if shard_grads else None
     # bf16 interp in the spatial augmentation only when the step computes
     # in bf16 anyway (the cast after augment would round identically)
@@ -353,8 +375,20 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
         else:
             lag = plain_lag
         loss, new_bs, grads = lag(params, batch_stats, image, label)
+        if use_zero:
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.with_sharding_constraint(
+                    g, zero_placement(mesh, g)
+                ),
+                grads,
+            )
         updates, new_opt = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if use_zero:
+            replicated = NamedSharding(mesh, P())
+            params = jax.tree_util.tree_map(
+                lambda p: jax.lax.with_sharding_constraint(p, replicated), params
+            )
         return params, new_bs, new_opt, loss
 
     return jax.jit(step, donate_argnums=(0, 1, 2))
@@ -462,6 +496,7 @@ def train(
     model_parallel: int = 1,
     accumulate_steps: int = 1,
     remat: bool = False,
+    zero_optimizer: bool = False,
     tissue_list: Optional[Path] = None,
     batch_size: int = 2,
     spacing: Sequence[float] = (),
@@ -489,6 +524,11 @@ def train(
     forward during backward (jax.checkpoint): ~one extra forward of FLOPs
     buys training patches/models whose activations don't fit otherwise.
     Both are exact (gradient-equivalence tested).
+
+    ``zero_optimizer`` (extra, ZeRO-1): partitions the optimizer moments
+    over the 'data' mesh axis and updates shardwise — 1/N optimizer HBM
+    per chip at the same collective volume (reduce-scatter + all-gather
+    == all-reduce). Exact; requires >1 device and model_parallel=1.
     """
     optimizer_cfg = dict(DEFAULT_OPTIMIZER)
     optimizer_cfg.update(optimizer or {})
@@ -552,7 +592,9 @@ def train(
         batch_size=batch_size * num_samples,
         num_samples=num_samples,
         margin=margin,
-        seed=seed,
+        # multi-host: each process draws distinct patches (put_batch then
+        # assembles the global batch from the per-host rows)
+        seed=seed + jax.process_index(),
         # bf16 wire halves H2D bytes; the step upcasts before augmentation
         image_wire_dtype=jnp.bfloat16 if mixed_precision else np.float32,
     )
@@ -570,6 +612,10 @@ def train(
     opt = make_optimizer(optimizer_cfg)
     if accumulate_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=int(accumulate_steps))
+    if zero_optimizer and model_parallel > 1:
+        raise ValueError("zero_optimizer does not combine with model_parallel")
+    if zero_optimizer and int(mesh.shape["data"]) < 2:
+        raise ValueError("zero_optimizer needs more than one device")
     if model_parallel > 1:
         # tensor-parallel placement: wide kernels shard over 'model'; the
         # optimizer moments inherit the sharding from zeros_like(params)
@@ -579,10 +625,15 @@ def train(
     else:
         params = replicate(mesh, model.variables["params"])
         batch_stats = replicate(mesh, model.variables.get("batch_stats", {}))
-        opt_state = replicate(mesh, opt.init(params))
+        opt_state = opt.init(params)
+        opt_state = (
+            shard_opt_state(mesh, opt_state)
+            if zero_optimizer
+            else replicate(mesh, opt_state)
+        )
     train_step = make_train_step(
         model.module, opt, aug_cfg, patch_size, mixed_precision, mesh=mesh,
-        remat=remat,
+        remat=remat, zero=zero_optimizer,
     )
 
     scheduler = LRScheduler(optimizer_cfg["lr"], scheduler_cfg)
