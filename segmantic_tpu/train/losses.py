@@ -132,7 +132,11 @@ _dice_int.defvjp(_dice_int_fwd, _dice_int_bwd)
 def dice_loss_phase(
     phase_logits: jax.Array,  # (N, *S/2, 2^nd * C) phase-major (models.unet)
     phase_labels: jax.Array,  # (N, *S/2, 2^nd) int (space_to_depth of labels)
-    **kwargs,
+    *,
+    include_background: bool = True,
+    smooth_nr: float = 1e-5,
+    smooth_dr: float = 1e-5,
+    apply_softmax: bool = True,
 ) -> jax.Array:
     """:func:`dice_loss` evaluated directly on subpixel phase-major logits.
 
@@ -141,12 +145,114 @@ def dice_loss_phase(
     labels)`` exactly — the training step uses this to consume the UNet's
     ``phase_logits`` output and skip the final depth-to-space plus the
     full-resolution logits materialization (models/unet.py phase stages).
+
+    The production path (softmax + int labels) is a matmul-segmented
+    formulation that never leaves the dense phase-lane layout: the
+    per-voxel softmax normalizers are broadcast with two tiny MXU matmuls
+    (``E @ G`` then ``@ G.T``) instead of keepdims-reduce + broadcast.
+    Reshaping to an (N, *S/2, 2^nd, C) view and reducing over the C-minor
+    axis — what autodiff or the plain :func:`dice_loss` VJP compiles to —
+    makes XLA materialize the normalizer broadcasts at the full phase-
+    expanded volume in f32 with a spatial lane layout plus relayout copies
+    (~9 GB/step at 32x96^3x8, measured +74 ms on v5e; exp/dice_hlo.py).
+    The matmul form measures +14 ms in-graph (exp/dice_cost5.py), exact to
+    f32 rounding (test-pinned).
     """
+    if apply_softmax and phase_labels.ndim == phase_logits.ndim and jnp.issubdtype(
+        phase_labels.dtype, jnp.integer
+    ):
+        return _dice_phase_mm(
+            phase_logits, phase_labels, include_background,
+            float(smooth_nr), float(smooth_dr),
+        )
     n_phase = phase_labels.shape[-1]
     num_classes = phase_logits.shape[-1] // n_phase
     # expose phases as an extra spatial axis: (N, *S/2, 2^nd, C)
     logits = phase_logits.reshape(phase_logits.shape[:-1] + (n_phase, num_classes))
-    return dice_loss(logits, phase_labels, **kwargs)
+    return dice_loss(
+        logits, phase_labels,
+        include_background=include_background,
+        smooth_nr=smooth_nr, smooth_dr=smooth_dr, apply_softmax=apply_softmax,
+    )
+
+
+def _phase_geom(xp, yp):
+    """Flattened views + the phase-group indicator matrix G (L x P),
+    G[l, v] = 1 iff lane l belongs to phase-voxel v (lanes are phase-major:
+    l = v * C + c)."""
+    n = xp.shape[0]
+    lanes = xp.shape[-1]
+    n_phase = yp.shape[-1]
+    num_classes = lanes // n_phase
+    x = xp.reshape(n, -1, lanes)
+    y = yp.reshape(n, -1, n_phase)
+    g_mat = jnp.asarray(
+        np.kron(np.eye(n_phase, dtype=np.float32),
+                np.ones((num_classes, 1), np.float32))
+    )
+    lane_cls = jnp.arange(lanes, dtype=y.dtype) % num_classes
+    return n, lanes, n_phase, num_classes, x, y, g_mat, lane_cls
+
+
+def _phase_probs(x, g_mat):
+    """Per-phase-voxel softmax over class lanes, normalizers broadcast by
+    matmul. The max shift is per 2^nd-voxel GROUP (exact softmax in real
+    arithmetic; underflow only if logits within one 2x..x2 neighborhood
+    spread by >88 nats, guarded by the tiny clamp)."""
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp((x - m).astype(jnp.float32))
+    z = jnp.maximum(e @ g_mat, jnp.finfo(jnp.float32).tiny)
+    return e * ((1.0 / z) @ g_mat.T)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _dice_phase_mm(xp, yp, include_background, smooth_nr, smooth_dr):
+    loss, _ = _dice_phase_fwd(xp, yp, include_background, smooth_nr, smooth_dr)
+    return loss
+
+
+def _dice_phase_fwd(xp, yp, include_background, smooth_nr, smooth_dr):
+    n, lanes, n_phase, num_classes, x, y, g_mat, lane_cls = _phase_geom(xp, yp)
+    p = _phase_probs(x, g_mat)
+    onehot = jnp.repeat(y, num_classes, axis=-1) == lane_cls
+
+    def fold(a):  # (n, L) lane sums -> (n, C) class sums
+        return a.reshape(n, n_phase, num_classes).sum(axis=1)
+
+    inter = fold(jnp.sum(jnp.where(onehot, p, 0.0), axis=1))
+    denom = fold(jnp.sum(p, axis=1)) + fold(
+        jnp.sum(onehot.astype(jnp.float32), axis=1)
+    )
+    if not include_background:
+        inter, denom = inter[:, 1:], denom[:, 1:]
+    dice = (2.0 * inter + smooth_nr) / (denom + smooth_dr)
+    return jnp.mean(1.0 - dice), (xp, yp, inter, denom)
+
+
+def _dice_phase_bwd(include_background, smooth_nr, smooth_dr, res, g):
+    xp, yp, inter, denom = res
+    n, lanes, n_phase, num_classes, x, y, g_mat, lane_cls = _phase_geom(xp, yp)
+    inv = 1.0 / (denom + smooth_dr)
+    scale = g / inter.size
+    d_inter = -scale * 2.0 * inv
+    d_denom = scale * (2.0 * inter + smooth_nr) * inv * inv
+    if not include_background:
+        d_inter = jnp.pad(d_inter, ((0, 0), (1, 0)))  # class 0: no gradient
+        d_denom = jnp.pad(d_denom, ((0, 0), (1, 0)))
+    # per-lane constants: lane l carries its class's d_inter / d_denom
+    tile = jnp.tile(jnp.eye(num_classes, dtype=jnp.float32), (1, n_phase))
+    di_l = (d_inter @ tile)[:, None, :]
+    dd_l = (d_denom @ tile)[:, None, :]
+    p = _phase_probs(x, g_mat)
+    onehot = jnp.repeat(y, num_classes, axis=-1) == lane_cls
+    d_probs = jnp.where(onehot, di_l, 0.0) + dd_l
+    inner = ((p * d_probs) @ g_mat) @ g_mat.T  # softmax VJP, matmul-broadcast
+    d_x = (p * (d_probs - inner)).astype(xp.dtype)
+    d_y = np.zeros(yp.shape, dtype=jax.dtypes.float0)
+    return d_x.reshape(xp.shape), d_y
+
+
+_dice_phase_mm.defvjp(_dice_phase_fwd, _dice_phase_bwd)
 
 
 def dice_ce_loss(

@@ -284,16 +284,17 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
         aug_cfg, interp_bf16=aug_cfg.interp_bf16 and mixed_precision
     )
 
-    # phase-major loss (opt-in): the Dice loss can consume the top phase
+    # phase-major loss (default on): the Dice loss consumes the top phase
     # stage's tensor directly — exact (Dice sums are voxel-permutation-
     # invariant; test-pinned) — skipping the final depth-to-space and the
-    # full-resolution logits. Measured NEUTRAL on v5e (exp/phasedice_ab.py,
-    # 0.998x: XLA already fuses the d2s), so it defaults off; the hook
-    # stays for memory-limited heads (the half-res phase layout halves the
-    # live full-res activation set).
+    # full-resolution logits. With the matmul-segmented dice formulation
+    # (losses.py::_dice_phase_mm) this removes ~60 ms of the 197 ms
+    # 32x96^3 fwd+bwd on v5e: the plain full-res dice makes XLA
+    # materialize ~9 GB of f32 normalizer broadcasts + relayout copies
+    # against the depth-to-space view (exp/dice_hlo.py, exp/dice_cost5.py).
     use_phase_logits = (
-        os.environ.get("SEGMANTIC_PHASE_DICE", "off").lower()
-        in ("1", "on", "true")
+        os.environ.get("SEGMANTIC_PHASE_DICE", "on").lower()
+        in ("1", "on", "true", "auto")
         and module.phase_top_ok()
         and all(p % 2 == 0 for p in patch_size)
     )

@@ -144,3 +144,59 @@ def test_dice_custom_vjp_bf16_and_jit():
     assert np.isfinite(float(v))
     assert g.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_dice_phase_mm_matches_reference():
+    """The matmul-segmented phase dice (production phase-major path) must
+    match the reshape-and-delegate reference in value and gradient, for 3D
+    and 2D phase groups and with/without background."""
+    from segmantic_tpu.train.losses import dice_loss_phase
+
+    rng = np.random.default_rng(11)
+    for nd, num_classes in ((3, 5), (2, 3)):
+        n_phase = 2**nd
+        spatial = (6,) * nd
+        xp = jnp.asarray(
+            rng.standard_normal((2, *spatial, n_phase * num_classes)) * 4,
+            jnp.float32,
+        )
+        yp = jnp.asarray(
+            rng.integers(0, num_classes, (2, *spatial, n_phase)), jnp.int32
+        )
+
+        def ref_fn(a, include_bg):
+            view = a.reshape(a.shape[:-1] + (n_phase, num_classes))
+            from segmantic_tpu.train.losses import _dice_reference
+
+            return _dice_reference(
+                view, yp, include_background=include_bg,
+                smooth_nr=1e-5, smooth_dr=1e-5, apply_softmax=True,
+            )
+
+        for include_bg in (True, False):
+            ref = ref_fn(xp, include_bg)
+            got = dice_loss_phase(xp, yp, include_background=include_bg)
+            np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+            g_ref = jax.grad(lambda a: ref_fn(a, include_bg))(xp)
+            g_got = jax.grad(
+                lambda a: dice_loss_phase(a, yp, include_background=include_bg)
+            )(xp)
+            scale = float(jnp.max(jnp.abs(g_ref)))
+            np.testing.assert_allclose(
+                np.asarray(g_got), np.asarray(g_ref), atol=2e-4 * scale
+            )
+
+
+def test_dice_phase_mm_bf16_jit():
+    from segmantic_tpu.train.losses import dice_loss_phase
+
+    rng = np.random.default_rng(12)
+    xp = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 8 * 3)), jnp.bfloat16)
+    yp = jnp.asarray(rng.integers(0, 3, (1, 4, 4, 4, 8)), jnp.int32)
+    v, g = jax.jit(
+        jax.value_and_grad(lambda a: dice_loss_phase(a, yp))
+    )(xp)
+    assert np.isfinite(float(v))
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, np.float32)).all()
