@@ -71,8 +71,12 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     image = rng.standard_normal((batch,) + margin_shape + (1,)).astype(np.float32)
-    label = rng.integers(0, num_classes, (batch,) + margin_shape).astype(np.int32)
-    image_d = jax.device_put(image, batch_sharding(mesh, image.ndim))
+    label = rng.integers(0, num_classes, (batch,) + margin_shape).astype(np.uint8)
+    # production wire dtypes (train() stages bf16 images / uint8 labels
+    # when mixed_precision; the step consumes the compact wire directly)
+    image_d = jax.device_put(
+        image.astype(jnp.bfloat16), batch_sharding(mesh, image.ndim)
+    )
     label_d = jax.device_put(label, batch_sharding(mesh, label.ndim))
 
     key = jax.random.key(0)

@@ -192,7 +192,12 @@ def augment_batch(
     key, k_gibbs, k_spike = jax.random.split(key, 3)
     keys = jax.random.split(key, batch)
     imgs_cf = jnp.moveaxis(images, -1, 1)  # (B, C, *spatial)
-    lbls_cf = labels[:, None].astype(jnp.int32)
+    # keep a compact integer wire dtype (uint8 labels) end-to-end: the NN
+    # banded interp is exact for class ids <= 255 in bf16 either way, and
+    # the full-volume int32 upcast is a materialized sweep
+    lbls_cf = labels[:, None]
+    if not jnp.issubdtype(lbls_cf.dtype, jnp.integer):
+        lbls_cf = lbls_cf.astype(jnp.int32)
 
     aug = jax.vmap(lambda i, l, k: _augment_one(i, l, k, cfg, tuple(out_shape)))
     out_img, out_lbl = aug(imgs_cf, lbls_cf, keys)

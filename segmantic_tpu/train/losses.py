@@ -177,29 +177,31 @@ def dice_loss_phase(
 
 
 def _phase_geom(xp, yp):
-    """Flattened views + the phase-group indicator matrix G (L x P),
-    G[l, v] = 1 iff lane l belongs to phase-voxel v (lanes are phase-major:
-    l = v * C + c)."""
-    n = xp.shape[0]
+    """The phase-group indicator matrix G (L x P), G[l, v] = 1 iff lane l
+    belongs to phase-voxel v (lanes are phase-major: l = v * C + c). All
+    arrays keep their native (N, *S/2, lanes) shape — flattening to 3-D
+    made XLA materialize two 453 MB relayout copies in the backward
+    (exp/hlo_cycles.py)."""
     lanes = xp.shape[-1]
     n_phase = yp.shape[-1]
     num_classes = lanes // n_phase
-    x = xp.reshape(n, -1, lanes)
-    y = yp.reshape(n, -1, n_phase)
     g_mat = jnp.asarray(
         np.kron(np.eye(n_phase, dtype=np.float32),
                 np.ones((num_classes, 1), np.float32))
     )
-    lane_cls = jnp.arange(lanes, dtype=y.dtype) % num_classes
-    return n, lanes, n_phase, num_classes, x, y, g_mat, lane_cls
+    # modulo before the narrow-dtype cast: lanes may exceed a u8 label's
+    # range even though every class id fits
+    lane_cls = (jnp.arange(lanes, dtype=jnp.int32) % num_classes).astype(
+        yp.dtype
+    )
+    return n_phase, num_classes, g_mat, lane_cls
 
 
-def _phase_probs(x, g_mat):
+def _phase_probs(x, g_mat, m):
     """Per-phase-voxel softmax over class lanes, normalizers broadcast by
-    matmul. The max shift is per 2^nd-voxel GROUP (exact softmax in real
-    arithmetic; underflow only if logits within one 2x..x2 neighborhood
-    spread by >88 nats, guarded by the tiny clamp)."""
-    m = jnp.max(x, axis=-1, keepdims=True)
+    matmul. The max shift ``m`` is per 2^nd-voxel GROUP (exact softmax in
+    real arithmetic; underflow only if logits within one 2x..x2
+    neighborhood spread by >88 nats, guarded by the tiny clamp)."""
     e = jnp.exp((x - m).astype(jnp.float32))
     z = jnp.maximum(e @ g_mat, jnp.finfo(jnp.float32).tiny)
     return e * ((1.0 / z) @ g_mat.T)
@@ -212,26 +214,32 @@ def _dice_phase_mm(xp, yp, include_background, smooth_nr, smooth_dr):
 
 
 def _dice_phase_fwd(xp, yp, include_background, smooth_nr, smooth_dr):
-    n, lanes, n_phase, num_classes, x, y, g_mat, lane_cls = _phase_geom(xp, yp)
-    p = _phase_probs(x, g_mat)
-    onehot = jnp.repeat(y, num_classes, axis=-1) == lane_cls
+    n_phase, num_classes, g_mat, lane_cls = _phase_geom(xp, yp)
+    n = xp.shape[0]
+    spatial = tuple(range(1, xp.ndim - 1))
+    m = jnp.max(xp, axis=-1, keepdims=True)
+    p = _phase_probs(xp, g_mat, m)
+    onehot = jnp.repeat(yp, num_classes, axis=-1) == lane_cls
 
     def fold(a):  # (n, L) lane sums -> (n, C) class sums
         return a.reshape(n, n_phase, num_classes).sum(axis=1)
 
-    inter = fold(jnp.sum(jnp.where(onehot, p, 0.0), axis=1))
-    denom = fold(jnp.sum(p, axis=1)) + fold(
-        jnp.sum(onehot.astype(jnp.float32), axis=1)
+    inter = fold(jnp.sum(jnp.where(onehot, p, 0.0), axis=spatial))
+    denom = fold(jnp.sum(p, axis=spatial)) + fold(
+        jnp.sum(onehot.astype(jnp.float32), axis=spatial)
     )
     if not include_background:
         inter, denom = inter[:, 1:], denom[:, 1:]
     dice = (2.0 * inter + smooth_nr) / (denom + smooth_dr)
-    return jnp.mean(1.0 - dice), (xp, yp, inter, denom)
+    # m rides along (tiny: lanes/L of the logits) so the backward skips
+    # the 453 MB reduce_max re-sweep
+    return jnp.mean(1.0 - dice), (xp, yp, m, inter, denom)
 
 
 def _dice_phase_bwd(include_background, smooth_nr, smooth_dr, res, g):
-    xp, yp, inter, denom = res
-    n, lanes, n_phase, num_classes, x, y, g_mat, lane_cls = _phase_geom(xp, yp)
+    xp, yp, m, inter, denom = res
+    n_phase, num_classes, g_mat, lane_cls = _phase_geom(xp, yp)
+    bshape = (xp.shape[0],) + (1,) * (xp.ndim - 2)
     inv = 1.0 / (denom + smooth_dr)
     scale = g / inter.size
     d_inter = -scale * 2.0 * inv
@@ -241,15 +249,15 @@ def _dice_phase_bwd(include_background, smooth_nr, smooth_dr, res, g):
         d_denom = jnp.pad(d_denom, ((0, 0), (1, 0)))
     # per-lane constants: lane l carries its class's d_inter / d_denom
     tile = jnp.tile(jnp.eye(num_classes, dtype=jnp.float32), (1, n_phase))
-    di_l = (d_inter @ tile)[:, None, :]
-    dd_l = (d_denom @ tile)[:, None, :]
-    p = _phase_probs(x, g_mat)
-    onehot = jnp.repeat(y, num_classes, axis=-1) == lane_cls
+    di_l = (d_inter @ tile).reshape(bshape + (-1,))
+    dd_l = (d_denom @ tile).reshape(bshape + (-1,))
+    p = _phase_probs(xp, g_mat, m)
+    onehot = jnp.repeat(yp, num_classes, axis=-1) == lane_cls
     d_probs = jnp.where(onehot, di_l, 0.0) + dd_l
     inner = ((p * d_probs) @ g_mat) @ g_mat.T  # softmax VJP, matmul-broadcast
     d_x = (p * (d_probs - inner)).astype(xp.dtype)
     d_y = np.zeros(yp.shape, dtype=jax.dtypes.float0)
-    return d_x.reshape(xp.shape), d_y
+    return d_x, d_y
 
 
 _dice_phase_mm.defvjp(_dice_phase_fwd, _dice_phase_bwd)

@@ -324,7 +324,12 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
                 def loss_fn(p):
                     out, mutated = apply_model(p, batch_stats, image)
                     if use_phase_logits:
-                        label_ph = fast_conv.space_to_depth(label[..., None])
+                        # the s2d is a relayout copy — do it at u8 width
+                        # (4x less traffic than s32; exp/hlo_cycles.py)
+                        lbl = label
+                        if module.out_channels <= 255:
+                            lbl = label.astype(jnp.uint8)
+                        label_ph = fast_conv.space_to_depth(lbl[..., None])
                         loss = dice_loss_phase(out, label_ph)
                     else:
                         loss = dice_loss(out, label)
@@ -362,8 +367,13 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
             sharded_lag = shard_map(make_lag(True), check_rep=False, **specs)
 
     def step(params, batch_stats, opt_state, image, label, key):
-        # wire dtypes may be compact (bf16 image / uint8 label); augment in f32
-        image = image.astype(jnp.float32)
+        # wire dtypes may be compact (bf16 image / uint8 label); augment in
+        # f32 — EXCEPT when the first augmentation op is the bf16 banded
+        # interp anyway: upcasting a bf16 wire image just to re-cast it
+        # materializes two full margin-volume sweeps (exp/hlo_cycles.py)
+        if not (aug_cfg.spatial and aug_cfg.interp_bf16
+                and image.dtype == jnp.bfloat16):
+            image = image.astype(jnp.float32)
         image, label = augment_batch(image, label, key, aug_cfg, tuple(patch_size))
         if mixed_precision:
             image = image.astype(jnp.bfloat16)
