@@ -93,8 +93,9 @@ def compile_step(batch: int, s: int) -> str:
     opt = optax.adam(1e-4)
     step = make_train_step(model, opt, AugmentConfig(spatial=True, intensity=True),
                            patch, mixed_precision=True)
-    img = jnp.zeros((batch,) + mshape + (1,), jnp.float32)
-    lbl = jnp.zeros((batch,) + mshape, jnp.int32)
+    # production wire dtypes (bench.py / train())
+    img = jnp.zeros((batch,) + mshape + (1,), jnp.bfloat16)
+    lbl = jnp.zeros((batch,) + mshape, jnp.uint8)
     lowered = step.lower(variables["params"], variables.get("batch_stats", {}),
                          opt.init(variables["params"]), img, lbl,
                          jax.random.key(0))
