@@ -258,6 +258,17 @@ def rotate_zoom_shear(
     else:
         extents = [None] * len(passes)
 
+    # u8 NN chains (label maps): run every pass in bf16 and restore the
+    # integer dtype ONCE at the end. One-hot rows copy exact values, f32
+    # accumulation of a single product is exact, and class ids <= 255 are
+    # bf16-exact — so the 12 per-pass rint+convert round trips are pure
+    # wasted sweeps (~36 ms of the 62 ms batch-32 augmentation was the
+    # label half; exp/step_ablate.py). Bit-identical output.
+    restore_dtype = None
+    if order == 0 and x.dtype == jnp.uint8:
+        restore_dtype = x.dtype
+        x = x.astype(jnp.bfloat16)
+
     shears = []
     for axis in range(n_rot):
         sh1 = -jnp.tan(angles[axis] / 2.0)
@@ -269,6 +280,8 @@ def rotate_zoom_shear(
             x = shear_pass(x, a, b, shears[rot_axis][slot], order, ext, bf16)
         else:
             x = scale_pass(x, a, zoom, order, ext, bf16, frame_extent=full[a])
+    if restore_dtype is not None:
+        x = _restore_dtype(x, restore_dtype)
     return x
 
 

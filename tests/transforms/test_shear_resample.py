@@ -166,3 +166,24 @@ def test_extent_shrink_bf16_close():
                           angle_max=0.4, zoom_min=0.8, bf16=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.15)
     assert float(jnp.abs(a - b).mean()) < 0.02
+
+
+def test_u8_label_chain_matches_int32():
+    """The u8 NN chain (single deferred restore, bf16 between passes) is
+    bit-identical to the per-pass-restored int32 chain."""
+    rng = np.random.default_rng(9)
+    lbl = rng.integers(0, 255, (1, 20, 20, 20), np.uint8)
+    angles = jnp.asarray([0.21, -0.13, 0.07])
+    zoom = jnp.asarray(1.12)
+    out8 = rotate_zoom_shear(
+        jnp.asarray(lbl), angles, zoom, order=0, out_shape=(12, 12, 12),
+        angle_max=0.3, zoom_min=1.0,
+    )
+    out32 = rotate_zoom_shear(
+        jnp.asarray(lbl, jnp.int32), angles, zoom, order=0,
+        out_shape=(12, 12, 12), angle_max=0.3, zoom_min=1.0,
+    )
+    assert out8.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(out8, np.int32), np.asarray(out32)
+    )
