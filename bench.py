@@ -41,9 +41,12 @@ def main() -> None:
     patch = (96, 96, 96)
     margin = 24  # margin feeds fused rotation/zoom, like production
     margin_shape = tuple(p + 2 * margin for p in patch)
-    # TPU-right batch: 32 patches amortize fixed per-step cost (+14% over
-    # the reference's GPU-bound effective batch of 8; exp/batch_sweep.py)
-    batch = 32
+    # TPU-right batch: 96 patches amortize fixed per-step cost (batch
+    # sweep with the phase-major dice's memory headroom: 32 -> 143M,
+    # 64 -> 164M, 96 -> 203M, 128 -> 225M vox/s/chip, 160 OOM on 16 GB
+    # HBM; 96 keeps a comfortable margin below the knee for the shared
+    # pool — exp/batch_sweep.py)
+    batch = 96
     num_classes = 8
 
     model = UNet(

@@ -44,8 +44,8 @@ def main():
     vox = int(np.prod(patch))
 
     def bench(B, n=6, rounds=3):
-        img = jnp.asarray(rng.standard_normal((B,) + margin + (1,)), jnp.float32)
-        lbl = jnp.asarray(rng.integers(0, 8, (B,) + margin), jnp.int32)
+        img = jnp.asarray(rng.standard_normal((B,) + margin + (1,)), jnp.bfloat16)
+        lbl = jnp.asarray(rng.integers(0, 8, (B,) + margin), jnp.uint8)
         p = jax.tree_util.tree_map(jnp.array, variables["params"])
         b = jax.tree_util.tree_map(jnp.array, variables.get("batch_stats", {}))
         o = opt.init(p)
@@ -64,12 +64,12 @@ def main():
 
     res = {}
     for rep in ("", "2"):
-        for B in (32, 48, 64):
+        for B in (32, 96, 128):
             t = bench(B)
             res[(B, rep)] = t
             print(f"B={B:3d}{rep:1s} {t*1e3:8.2f} ms  "
                   f"{B*vox/t/1e6:7.1f} Mvox/s", flush=True)
-    for B in (32, 48, 64):
+    for B in (32, 96, 128):
         t = min(res[(B, "")], res[(B, "2")])
         print(f"best B={B}: {B*vox/t/1e6:.1f} Mvox/s", flush=True)
 
