@@ -29,7 +29,9 @@ def main():
     from segmantic_tpu.train.augment import AugmentConfig, augment_batch
     from segmantic_tpu.train.trainer import make_train_step
 
-    B, S, C = 32, 96, 8
+    import sys as _sys
+    B = int(_sys.argv[1]) if len(_sys.argv) > 1 else 32
+    S, C = 96, 8
     margin = 24
     M = S + 2 * margin
     rng = np.random.default_rng(0)
@@ -127,9 +129,42 @@ def main():
         i, l = aug_in_j(img_p, lbl_p, jax.random.key(2))
         return i
 
+    # dice share at this batch: fwd+bwd with the production phase dice vs
+    # a mean-square stand-in
+    from segmantic_tpu.ops import fast_conv, pallas_conv
+    from segmantic_tpu.train.losses import dice_loss_phase
+
+    def make_lag(use_dice):
+        def lag(p, bs, im, lb):
+            with pallas_conv.packed_routing(None):
+                lb_ph = fast_conv.space_to_depth(lb[..., None])
+                def f(pp):
+                    out, _ = model.apply(
+                        {"params": pp, "batch_stats": bs}, im,
+                        training=True, mutable=["batch_stats"],
+                        phase_logits=True,
+                    )
+                    if use_dice:
+                        return dice_loss_phase(out, lb_ph)
+                    return jnp.mean(jnp.square(out.astype(jnp.float32)))
+                return jax.value_and_grad(f)(p)
+        return jax.jit(lag)
+
+    lag_dice = make_lag(True)
+    lag_sq = make_lag(False)
+    pcopy = jax.tree_util.tree_map(jnp.copy, variables["params"])
+    bs0 = variables.get("batch_stats", {})
+
+    def run_lag_dice():
+        return lag_dice(pcopy, bs0, img_p, lbl_p)[0]
+
+    def run_lag_sq():
+        return lag_sq(pcopy, bs0, img_p, lbl_p)[0]
+
     timers = {"step_full": run_full, "step_noaug": run_noaug,
               "aug": run_aug, "aug_img": run_aug_img,
-              "aug_spatial": run_aug_sp, "aug_intensity": run_aug_in}
+              "aug_spatial": run_aug_sp, "aug_intensity": run_aug_in,
+              "lag_dice": run_lag_dice, "lag_sq": run_lag_sq}
     for fn in timers.values():
         fn()  # compile
     best = {k: float("inf") for k in timers}
@@ -141,6 +176,7 @@ def main():
     print(f"aug share of step:   {(best['step_full']-best['step_noaug'])*1e3:7.1f} ms")
     print(f"aug standalone:      {best['aug']*1e3:7.1f} ms")
     print(f"aug label share:     {(best['aug']-best['aug_img'])*1e3:7.1f} ms")
+    print(f"dice in-graph:       {(best['lag_dice']-best['lag_sq'])*1e3:7.1f} ms")
 
 
 if __name__ == "__main__":

@@ -44,7 +44,7 @@ def main():
     rng = np.random.default_rng(0)
     volume = rng.standard_normal(vol_shape + (1,)).astype(np.float32)
 
-    sws = (4, 8, 16)
+    sws = (16, 32, 64)
     # warmup all variants first (compiles out of the timed region)
     for sw in sws:
         out = sliding_window_inference(
