@@ -108,11 +108,7 @@ def shear_pass(
     input extent) emits only the center window along ``a_axis``.
     """
     a1, b1 = a_axis + 1, b_axis + 1
-    rest = [d for d in range(1, x.ndim) if d not in (a1, b1)]
-    perm = [0, a1, b1] + rest
-    xt = jnp.transpose(x, perm)  # (C, NA, NB, *rest)
-    c, na, nb = xt.shape[0], xt.shape[1], xt.shape[2]
-    rest_shape = xt.shape[3:]
+    na, nb = x.shape[a1], x.shape[b1]
     m = na if out_extent is None else min(out_extent, na)
 
     b_rel = jnp.arange(nb, dtype=jnp.float32) - _center(nb)
@@ -123,16 +119,20 @@ def shear_pass(
         o_glob[:, None] - s.astype(jnp.float32) * b_rel[None, :]
     )  # (M, NB): input a-coordinate per output line
 
-    # per-b banded matmul on the MXU: out[c,o,b,r] = sum_u W[b,o,u] x[c,u,b,r]
+    # per-b banded matmul on the MXU, contracting the a-axis IN PLACE —
+    # the einsum addresses (a, b) wherever they sit, so no transposes
+    # bracket the pass (bit-identical, ~8% faster: exp/shear_layout_ab.py)
     w = _interp_matrix(pos.T, na, order)  # (NB, M, NA_in)
-    xf = xt.reshape(c, na, nb, -1)
-    out = _banded_matmul(w, xf, "bou,cubr->cobr", order, bf16)
-
-    out = out.reshape((c, m, nb) + rest_shape)
-    inv = [0] * x.ndim
-    for i, p in enumerate(perm):
-        inv[p] = i
-    return _restore_dtype(jnp.transpose(out, inv), x.dtype)
+    letters = "cdefgh"[: x.ndim]
+    in_sub = list(letters)
+    in_sub[a1] = "u"
+    in_sub[b1] = "b"
+    out_sub = list(letters)
+    out_sub[a1] = "o"
+    out_sub[b1] = "b"
+    spec = f"bou,{''.join(in_sub)}->{''.join(out_sub)}"
+    out = _banded_matmul(w, x, spec, order, bf16)
+    return _restore_dtype(out, x.dtype)
 
 
 def scale_pass(
@@ -150,9 +150,6 @@ def scale_pass(
     nearest-neighbor rounding cannot flip relative to the full frame."""
     a1 = axis + 1
     n = x.shape[a1]
-    xt = jnp.moveaxis(x, a1, 1)  # (C, N, *rest)
-    c = xt.shape[0]
-    flat = xt.reshape(c, n, -1)
     m = n if out_extent is None else min(out_extent, n)
     frame = n if frame_extent is None else frame_extent
     off_in = (frame - n) // 2  # window offset of x inside the full frame
@@ -160,12 +157,16 @@ def scale_pass(
     o_full = jnp.arange(m, dtype=jnp.float32) + float((n - m) // 2 + off_in)
     pos_full = (o_full - _center(frame)) / zoom.astype(jnp.float32) + _center(frame)
     pos = pos_full - float(off_in)
-    # single banded matmul: out[c,o,r] = sum_u W[o,u] x[c,u,r]
+    # single banded matmul contracting the axis in place (no moveaxis)
     w = _interp_matrix(pos, n, order)  # (M, N_in)
-    out = _banded_matmul(w, flat, "ou,cur->cor", order, bf16)
-
-    out = out.reshape((c, m) + xt.shape[2:])
-    return _restore_dtype(jnp.moveaxis(out, 1, a1), x.dtype)
+    letters = "cdefgh"[: x.ndim]
+    in_sub = list(letters)
+    in_sub[a1] = "u"
+    out_sub = list(letters)
+    out_sub[a1] = "o"
+    spec = f"ou,{''.join(in_sub)}->{''.join(out_sub)}"
+    out = _banded_matmul(w, x, spec, order, bf16)
+    return _restore_dtype(out, x.dtype)
 
 
 def _pass_list(nd: int, n_rot: int) -> List[Tuple[str, int, int, Tuple[int, int]]]:

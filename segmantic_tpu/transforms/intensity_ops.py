@@ -20,6 +20,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def adjust_contrast(x: jax.Array, gamma: jax.Array) -> jax.Array:
@@ -105,35 +106,57 @@ def gibbs_noise(x: jax.Array, alpha: jax.Array) -> jax.Array:
     knob; we use a hard radial cutoff, the textbook Gibbs model.
     """
     nd = x.ndim - 1
-    axes = tuple(range(1, x.ndim))
-    # real-input FFT at ~55% of the c2c FLOPs, no fftshift of the volume.
-    # The legacy box mask M is centered at (s-1)/2, which is ASYMMETRIC
-    # about DC on even axes; taking real(ifftn(M*K)) implicitly
-    # symmetrizes the spectrum, so the exact r2c equivalent applies the
-    # hermitian-symmetrized mask (M(f) + M(-f)) / 2 (values 0/0.5/1) —
-    # bit-matching the legacy shifted-c2c formulation (test-pinned).
-    k = jnp.fft.rfftn(x.astype(jnp.float32), axes=axes)
-    dist = jnp.zeros(k.shape[1:], jnp.float32)
-    dist_m = jnp.zeros(k.shape[1:], jnp.float32)
+    # The chebyshev-ball cutoff mask is a PER-AXIS PRODUCT of 1-D boxes, so
+    # the k-space projection factorizes: Re(F^-1 (prod_a m_a) F x)
+    # = Re(tensor_a A_a) x with A_a = F_a^-1 diag(m_a) F_a — a per-axis
+    # complex circulant applied as small (s x s) MXU matmuls instead of a
+    # 3-D FFT round trip (the FFT pair was most of the remaining batch-96
+    # augmentation cost; exp/intensity_split.py). Complex bookkeeping:
+    # track (real, imag) of the partially-applied operator; A_a has a
+    # nonzero imaginary part on even axes (the box about (s-1)/2 is
+    # asymmetric in unshifted frequencies). Matches the legacy shifted-c2c
+    # formulation to f32 rounding (test-pinned, even AND odd extents).
+    radius = jnp.maximum(1.0 - alpha, 1e-3)
+    hi = jax.lax.Precision.HIGHEST
+    y_r = x.astype(jnp.float32)
+    y_i = None
+    letters = "bcdefg"[: x.ndim]
     for a, s in enumerate(x.shape[1:]):
         c = (s - 1) / 2.0
-        coord = jnp.abs(jnp.arange(s, dtype=jnp.float32) - c) / jnp.maximum(c, 1.0)
+        coord = jnp.abs(jnp.arange(s, dtype=jnp.float32) - c) / max(c, 1.0)
         coord = jnp.fft.ifftshift(coord)  # unshifted-frequency order
-        # the same coordinates evaluated at -f (frequency mirror)
-        coord_m = jnp.concatenate([coord[:1], coord[:0:-1]])
-        if a == nd - 1:
-            coord = coord[: s // 2 + 1]  # rfft half-spectrum
-            coord_m = coord_m[: s // 2 + 1]
-        shape_a = (1,) * a + (coord.shape[0],) + (1,) * (nd - a - 1)
-        dist = jnp.maximum(dist, coord.reshape(shape_a))
-        dist_m = jnp.maximum(dist_m, coord_m.reshape(shape_a))
-    radius = jnp.maximum(1.0 - alpha, 1e-3)
-    mask = 0.5 * (
-        (dist <= radius).astype(jnp.float32)
-        + (dist_m <= radius).astype(jnp.float32)
-    )
-    out = jnp.fft.irfftn(k * mask[None].astype(k.dtype), s=x.shape[1:], axes=axes)
-    return out.astype(x.dtype)
+        m = (coord <= radius).astype(jnp.float32)  # (s,)
+        fi = jnp.arange(s, dtype=jnp.int32)
+        # reduce f*r mod s in exact integer arithmetic BEFORE the f32
+        # cos/sin — unreduced angles up to 2π s lose ~1e-4 of precision
+        ang = (2.0 * np.pi / s) * (
+            (fi[:, None] * fi[None, :]) % s
+        ).astype(jnp.float32)  # (r, f)
+        cm = jnp.cos(ang)
+        sm = jnp.sin(ang)
+        # A = (1/s) (cm + i sm) @ diag(m) @ (cm - i sm)^T
+        r_mat = (cm * m) @ cm.T + (sm * m) @ sm.T
+        i_mat = (sm * m) @ cm.T - (cm * m) @ sm.T
+        r_mat = r_mat / s
+        i_mat = i_mat / s
+        in_sub = list(letters)
+        in_sub[a + 1] = "u"
+        out_sub = list(letters)
+        out_sub[a + 1] = "o"
+        spec = f"ou,{''.join(in_sub)}->{''.join(out_sub)}"
+
+        def app(mat, t):
+            return jnp.einsum(spec, mat, t, precision=hi)
+
+        last = a == nd - 1
+        if y_i is None:
+            new_r = app(r_mat, y_r)
+            new_i = None if last else app(i_mat, y_r)
+        else:
+            new_r = app(r_mat, y_r) - app(i_mat, y_i)
+            new_i = None if last else app(i_mat, y_r) + app(r_mat, y_i)
+        y_r, y_i = new_r, new_i
+    return y_r.astype(x.dtype)
 
 
 def kspace_spike(
@@ -145,11 +168,19 @@ def kspace_spike(
     ``intensity_factor`` scales the k-space maximum log-magnitude (MONAI
     KSpaceSpikeNoise parametrizes via log-intensity too).
     """
+    nd = x.ndim - 1
     axes = tuple(range(1, x.ndim))
-    # no fftshift of the volume: the spike index maps into unshifted
-    # frequency order instead (|k| max and the ifft are shift-invariant)
-    k = jnp.fft.fftn(x, axes=axes)
-    log_max = jnp.log(jnp.max(jnp.abs(k)) + 1e-12)
+    xf = x.astype(jnp.float32)
+    # By linearity, setting one k-sample to v and inverting equals adding
+    # (v - K[idx]) times that sample's complex exponential in image space:
+    #   real(ifftn(K + (v - K[idx]) δ_idx)) = x + real((v - K[idx]) e_idx)/ΠN
+    # so the inverse FFT disappears entirely and the forward spectrum is
+    # only needed for MONAI's log-max normalization — computable from the
+    # half-spectrum rfftn (hermitian symmetry preserves the max). One rfftn
+    # + two fused elementwise sweeps instead of fftn + ifftn (the spike was
+    # ~60% of the batch-96 augmentation's FFT cost; exp/intensity_split.py).
+    k_half = jnp.fft.rfftn(xf, axes=axes)
+    log_max = jnp.log(jnp.max(jnp.abs(k_half)) + 1e-12)
     spike_val = jnp.exp(log_max * intensity_factor)
 
     idx = tuple(
@@ -162,11 +193,26 @@ def kspace_spike(
             - x.shape[1 + a] // 2
         )
         % x.shape[1 + a]
-        for a in range(x.ndim - 1)
+        for a in range(nd)
     )
-    k = k.at[(slice(None),) + idx].set(spike_val.astype(k.dtype))
-    out = jnp.fft.ifftn(k, axes=axes)
-    return jnp.real(out).astype(x.dtype)
+    # phase(r) = 2π Σ_a idx_a r_a / N_a (unshifted-frequency exponential)
+    phase = jnp.zeros((1,) * x.ndim, jnp.float32)
+    for a in range(nd):
+        n = x.shape[1 + a]
+        v = (2.0 * np.pi / n) * idx[a].astype(jnp.float32) * jnp.arange(
+            n, dtype=jnp.float32
+        )
+        phase = phase + v.reshape((1,) * (a + 1) + (n,) + (1,) * (nd - a - 1))
+    cosp = jnp.cos(phase)
+    sinp = jnp.sin(phase)
+    # the per-channel forward DFT sample K[idx] = Σ_r x e^{-i phase}
+    k_re = jnp.sum(xf * cosp, axis=axes, keepdims=True)
+    k_im = -jnp.sum(xf * sinp, axis=axes, keepdims=True)
+    d_re = spike_val - k_re
+    d_im = -k_im
+    nprod = float(np.prod(x.shape[1:]))
+    out = xf + (d_re * cosp - d_im * sinp) / nprod
+    return out.astype(x.dtype)
 
 
 def zscore(x: jax.Array, channel_wise: bool = True, nonzero: bool = False) -> jax.Array:
