@@ -99,6 +99,7 @@ def _banded_matmul(w: jax.Array, x: jax.Array, spec: str, order: int,
 def shear_pass(
     x: jax.Array, a_axis: int, b_axis: int, s: jax.Array, order: int,
     out_extent: Optional[int] = None, bf16: bool = False,
+    zoom: Optional[jax.Array] = None, frame_extent: Optional[int] = None,
 ) -> jax.Array:
     """Content shear: output line at (a, b) reads input a-coordinate
     ``a - s * (b - center_b)`` (about the volume center, zeros outside).
@@ -106,6 +107,15 @@ def shear_pass(
     ``x`` is channel-first (C, *spatial); ``a_axis``/``b_axis`` are spatial
     axis indices; ``s`` may be traced. ``out_extent`` (same parity as the
     input extent) emits only the center window along ``a_axis``.
+
+    With ``zoom`` the pass is the MERGED shear+scale banded map
+    ``a_in = (a_out - c)/zoom + c - s*(b - c_b)`` about the FULL-frame
+    center (``frame_extent`` — required, like :func:`scale_pass`): the
+    chain's trailing isotropic zoom folds into the last shear per axis
+    (exact affine algebra; see :func:`rotate_zoom_shear`). The position
+    arithmetic computes the full-frame value first and subtracts the
+    integer window offset last, so shrunk windows stay bit-identical to
+    the full frame.
     """
     a1, b1 = a_axis + 1, b_axis + 1
     na, nb = x.shape[a1], x.shape[b1]
@@ -115,9 +125,21 @@ def shear_pass(
     # global output index = local index + exact integer window offset, so a
     # shrunk pass computes bit-identical positions to the full frame
     o_glob = jnp.arange(m, dtype=jnp.float32) + float((na - m) // 2)
-    pos = (
-        o_glob[:, None] - s.astype(jnp.float32) * b_rel[None, :]
-    )  # (M, NB): input a-coordinate per output line
+    if zoom is None:
+        pos = (
+            o_glob[:, None] - s.astype(jnp.float32) * b_rel[None, :]
+        )  # (M, NB): input a-coordinate per output line
+    else:
+        frame = na if frame_extent is None else frame_extent
+        off_in = float((frame - na) // 2)
+        c_f = _center(frame)
+        o_full = o_glob + off_in
+        pos_full = (
+            (o_full[:, None] - c_f) / zoom.astype(jnp.float32)
+            + c_f
+            - s.astype(jnp.float32) * b_rel[None, :]
+        )
+        pos = pos_full - off_in  # exact: integer offset off a same-grid f32
 
     # per-b banded matmul on the MXU, contracting the a-axis IN PLACE —
     # the einsum addresses (a, b) wherever they sit, so no transposes
@@ -189,12 +211,41 @@ def _pass_list(nd: int, n_rot: int) -> List[Tuple[str, int, int, Tuple[int, int]
     return passes
 
 
+def _folded_pass_list(nd: int, n_rot: int):
+    """The shear chain with the trailing isotropic zoom FOLDED into the
+    last shear per a-axis (kind 'shz'), dropping the ``nd`` standalone
+    scale passes. Moving the scale D_a earlier past a shear conjugates it:
+    exec(sh, D_a) == exec(D_a, sh') with s' = s/z when the shear's b-axis
+    is a (coordinates it reads are now pre-scaled), unchanged otherwise —
+    so every pass after axis a's fold point with b == a divides its
+    coefficient by the zoom. Exact affine algebra (oracle-pinned:
+    test_rotation_zoom_matches_affine_gather).
+
+    Returns (passes, divz): 4-tuples like :func:`_pass_list` (kinds
+    'sh'/'shz') and the set of pass indices whose s divides by zoom.
+    """
+    passes = [p for p in _pass_list(nd, n_rot) if p[0] == "sh"]
+    divz: set = set()
+    for axis in range(nd):
+        occ = [i for i, p in enumerate(passes) if p[1] == axis]
+        if not occ:  # an axis never sheared still needs its scale pass
+            passes.append(("sc", axis, -1, (-1, -1)))
+            continue
+        i = occ[-1]
+        passes[i] = ("shz",) + passes[i][1:]
+        for j in range(i + 1, len(passes)):
+            if passes[j][2] == axis:
+                divz.add(j)
+    return passes, divz
+
+
 def _extent_schedule(
     full: Sequence[int],
     out_shape: Sequence[int],
     passes: List[Tuple[str, int, int, Tuple[int, int]]],
     angle_max: float,
     zoom_min: float,
+    divz: Optional[set] = None,
 ) -> List[int]:
     """Static per-pass output extents, walked backward from ``out_shape``.
 
@@ -206,6 +257,8 @@ def _extent_schedule(
     """
     t_max = abs(math.tan(angle_max / 2.0))
     s_max = abs(math.sin(angle_max))
+    zlo = min(zoom_min, 1.0)
+    divz = divz or set()
 
     def with_parity(v: float, axis: int) -> int:
         n = int(math.ceil(v))
@@ -223,10 +276,13 @@ def _extent_schedule(
         kind, a, b, (_, slot) = passes[i]
         out_extents[i] = need[a]
         if kind == "sc":
-            need[a] = with_parity(need[a] / min(zoom_min, 1.0) + 2, a)
+            need[a] = with_parity(need[a] / zlo + 2, a)
         else:
             smax = s_max if slot == 1 else t_max
-            need[a] = with_parity(need[a] + 2 * (smax * need[b] / 2.0 + 1), a)
+            if i in divz:  # coefficient divided by the (folded) zoom
+                smax = smax / zlo
+            reach = need[a] / zlo if kind == "shz" else need[a]
+            need[a] = with_parity(reach + 2 * (smax * need[b] / 2.0 + 1), a)
     return out_extents
 
 
@@ -251,10 +307,14 @@ def rotate_zoom_shear(
     """
     nd = x.ndim - 1
     n_rot = angles.shape[0]
-    passes = _pass_list(nd, n_rot)
+    # 12 -> 9 banded passes: the trailing isotropic zoom folds into the
+    # last shear per a-axis (merged affine pass; later passes reading the
+    # folded axis as b divide their coefficient by the zoom — exact
+    # conjugation, oracle-pinned by the combined rotation+zoom test)
+    passes, divz = _folded_pass_list(nd, n_rot)
     if out_shape is not None:
         extents = _extent_schedule(
-            x.shape[1:], out_shape, passes, angle_max, zoom_min
+            x.shape[1:], out_shape, passes, angle_max, zoom_min, divz
         )
     else:
         extents = [None] * len(passes)
@@ -276,11 +336,20 @@ def rotate_zoom_shear(
         sh2 = jnp.sin(angles[axis])
         shears.append((sh1, sh2, sh1))
     full = x.shape[1:]
-    for (kind, a, b, (rot_axis, slot)), ext in zip(passes, extents):
-        if kind == "sh":
-            x = shear_pass(x, a, b, shears[rot_axis][slot], order, ext, bf16)
-        else:
+    for i, ((kind, a, b, (rot_axis, slot)), ext) in enumerate(
+        zip(passes, extents)
+    ):
+        if kind == "sc":
             x = scale_pass(x, a, zoom, order, ext, bf16, frame_extent=full[a])
+            continue
+        s = shears[rot_axis][slot]
+        if i in divz:
+            s = s / zoom.astype(jnp.float32)
+        x = shear_pass(
+            x, a, b, s, order, ext, bf16,
+            zoom=zoom if kind == "shz" else None,
+            frame_extent=full[a] if kind == "shz" else None,
+        )
     if restore_dtype is not None:
         x = _restore_dtype(x, restore_dtype)
     return x

@@ -187,3 +187,32 @@ def test_u8_label_chain_matches_int32():
     np.testing.assert_array_equal(
         np.asarray(out8, np.int32), np.asarray(out32)
     )
+
+
+def test_rotation_zoom_matches_affine_gather():
+    """The full chain (3 rotations THEN isotropic zoom, about the center)
+    equals the ideal affine gather: in = Rot.T @ (out - c) / z + c. Guards
+    the zoom-fold algebra (zoom folded into the last shear per axis)."""
+    from segmantic_tpu.train.augment import _rotation_matrix
+
+    shape = (32, 32, 32)
+    x = _smooth_blob(shape, seed=11)
+    angles = np.asarray([0.3, -0.22, 0.15], np.float32)
+    z = 1.2
+    got = np.asarray(
+        rotate_zoom_shear(
+            jnp.asarray(x), jnp.asarray(angles), jnp.asarray(z), order=1
+        )
+    )
+    rot = np.asarray(_rotation_matrix(3, jnp.asarray(angles)))
+    center = (np.asarray(shape) - 1) / 2
+    m = np.zeros((3, 4))
+    m[:, :3] = rot.T / z
+    m[:, 3] = center - rot.T @ center / z
+    want = resample_affine_np(x, m, shape, order=1)
+    core = (slice(0, 1),) + (slice(8, 24),) * 3
+    # 9 interpolating passes smooth slightly more than one gather
+    err = np.abs(got[core] - want[core]).max()
+    assert err < 0.15, err
+    corr = np.corrcoef(got[core].ravel(), want[core].ravel())[0, 1]
+    assert corr > 0.995, corr
