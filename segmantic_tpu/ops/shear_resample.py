@@ -19,9 +19,12 @@ Two further TPU optimizations (measured v5e, 8x144³→96³ batch):
   nonzero product — so order 0 always uses it; the order-1 image path
   opts in when the surrounding pipeline computes in bf16 anyway (mixed-
   precision training), else stays full-f32 with an exact identity;
+- the trailing isotropic zoom FOLDS into the last shear per axis (exact
+  affine conjugation — :func:`_folded_pass_list`), so the whole 3D
+  rotation+zoom is NINE banded passes, not 9 shears + 3 scales;
 - passes shrink their output to the center window later passes actually
   need (``out_shape`` + static reach bounds from the angle/zoom ranges),
-  instead of carrying the full margin through all 12 passes and cropping
+  instead of carrying the full margin through every pass and cropping
   at the end. Center-aligned same-parity windows keep every pass's
   coordinate math exact, so the shrunk pipeline matches
   full-frame-then-crop to float precision (bit-identical on the label
