@@ -200,3 +200,20 @@ def test_dice_phase_mm_bf16_jit():
     assert np.isfinite(float(v))
     assert g.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_dice_phase_mm_bf16_bwd_close_to_f32():
+    """The bf16-intermediate backward (engaged for bf16 logits) stays
+    within bf16 granularity of the f32-path gradient."""
+    from segmantic_tpu.train.losses import dice_loss_phase
+
+    rng = np.random.default_rng(13)
+    xp = jnp.asarray(rng.standard_normal((2, 6, 6, 6, 8 * 4)) * 3, jnp.float32)
+    yp = jnp.asarray(rng.integers(0, 4, (2, 6, 6, 6, 8)), jnp.int32)
+    g32 = jax.grad(lambda a: dice_loss_phase(a, yp))(xp)
+    g16 = jax.grad(lambda a: dice_loss_phase(a, yp))(xp.astype(jnp.bfloat16))
+    scale = float(jnp.max(jnp.abs(g32)))
+    err = float(jnp.max(jnp.abs(g16.astype(jnp.float32) - g32)))
+    # the comparison includes the logits' own bf16 quantization, so the
+    # bound is a few bf16 ulps of the gradient scale
+    assert err < 0.06 * scale, (err, scale)
