@@ -208,7 +208,9 @@ def _phase_probs(x, g_mat, m, dtype=jnp.float32):
     when the logits are bf16 — the cotangent is quantized to bf16 at the
     boundary anyway, so the ~0.4% relative noise matches the output
     granularity while halving the bwd's HBM traffic."""
-    e = jnp.exp((x - m).astype(jnp.float32)).astype(dtype)
+    # cast BEFORE the subtract: bf16 inputs read at bf16 traffic either
+    # way, but the difference/exp compute at f32 precision
+    e = jnp.exp(x.astype(jnp.float32) - m.astype(jnp.float32)).astype(dtype)
     z = jnp.maximum(
         jnp.einsum("...l,lv->...v", e, g_mat,
                    preferred_element_type=jnp.float32),
