@@ -2,11 +2,12 @@
 
 Runs the flagship 3D residual UNet (reference-default topology
 16-32-64-128-256, strides 2^4, batch norm, PReLU) with the production train
-step — fused on-device augmentation (spatial affine gather + intensity zoo
+step — fused on-device augmentation (spatial affine matmuls + intensity zoo
 + flips), dice loss, backward, Adam — on synthetic 96^3 patches in bf16
-mixed precision, effective batch 32 patches (TPU-right batch; the
-reference's GPU-memory-bound effective 8 = batch_size=2 x num_samples=4
-measures ~12% lower per voxel — exp/batch_sweep.py). Prints ONE JSON line:
+mixed precision. The batch tries the TPU-right 128 first (the sweep knee:
+32 -> 153M, 96 -> 233M, 128 -> 260M vox/s/chip on 16 GB HBM, 160 OOM —
+exp/batch_sweep.py) and falls back to 96 / 64 if the shared pool's HBM is
+tighter on this run. Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"} where vs_baseline is against
 the 50k labeled voxels/sec/chip north-star (BASELINE.md).
 """
@@ -28,7 +29,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
-def main() -> None:
+def run(batch: int) -> float:
+    """One full measurement at this batch; returns voxels/s/chip.
+
+    Raises on OOM so the caller can retry smaller (all per-attempt device
+    buffers go out of scope on failure).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -41,12 +47,6 @@ def main() -> None:
     patch = (96, 96, 96)
     margin = 24  # margin feeds fused rotation/zoom, like production
     margin_shape = tuple(p + 2 * margin for p in patch)
-    # TPU-right batch: 96 patches amortize fixed per-step cost (batch
-    # sweep with the phase-major dice's memory headroom: 32 -> 143M,
-    # 64 -> 164M, 96 -> 203M, 128 -> 225M vox/s/chip, 160 OOM on 16 GB
-    # HBM; 96 keeps a comfortable margin below the knee for the shared
-    # pool — exp/batch_sweep.py)
-    batch = 96
     num_classes = 8
 
     model = UNet(
@@ -108,8 +108,23 @@ def main() -> None:
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     voxels_per_step = batch * int(np.prod(patch))
-    vox_per_sec = voxels_per_step * steps / best_dt
-    vox_per_sec_per_chip = vox_per_sec / n_chips
+    return voxels_per_step * steps / best_dt / n_chips
+
+
+def main() -> None:
+    last_err = None
+    for batch in (128, 96, 64):
+        try:
+            vox_per_sec_per_chip = run(batch)
+            break
+        except Exception as e:  # OOM (RESOURCE_EXHAUSTED) -> retry smaller
+            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e).lower():
+                raise
+            print(f"batch {batch} did not fit, retrying smaller: "
+                  f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
+            last_err = e
+    else:
+        raise last_err
 
     print(
         json.dumps(
