@@ -199,9 +199,12 @@ def kspace_spike(
     phase = jnp.zeros((1,) * x.ndim, jnp.float32)
     for a in range(nd):
         n = x.shape[1 + a]
-        v = (2.0 * np.pi / n) * idx[a].astype(jnp.float32) * jnp.arange(
-            n, dtype=jnp.float32
-        )
+        # reduce idx*r mod n in int32 BEFORE the f32 multiply (angles stay in
+        # [0, 2π) instead of growing to ~2π·n and shedding mantissa bits) —
+        # same exact-angle construction as the gibbs_noise circulants above
+        v = (2.0 * np.pi / n) * (
+            (idx[a] * jnp.arange(n, dtype=jnp.int32)) % n
+        ).astype(jnp.float32)
         phase = phase + v.reshape((1,) * (a + 1) + (n,) + (1,) * (nd - a - 1))
     cosp = jnp.cos(phase)
     sinp = jnp.sin(phase)
