@@ -267,7 +267,11 @@ def phase_conv_gemm_folded_p(pf: jax.Array, w3: jax.Array,
         partial(_fwd_kernel_folded, H=H, WF=WF, L2=L2),
         grid=(B, D),
         in_specs=[
-            view_spec(0),
+            # vd is only READ at d == 0 (bootstrap of the halo scratch):
+            # pinning its index to plane 0 makes Pallas fetch it once per
+            # batch item instead of re-DMAing every step
+            pl.BlockSpec((1, 1, H, WF, L2), lambda b, d: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             view_spec(1),
             pl.BlockSpec((8 * L2, L2), lambda b, d: (0, 0),
                          memory_space=pltpu.VMEM),
