@@ -46,6 +46,7 @@ def segment_volume(
     overlap: float = 0.25,
     mesh=None,
     shard_volume: bool = False,
+    wire_dtype="auto",
 ):
     """Segment ONE image: preprocess → sliding window → invert → argmax.
 
@@ -65,10 +66,18 @@ def segment_volume(
         return val_forward(variables, windows)
 
     img = np.moveaxis(sample["image"].numpy(), 0, -1)
+    # bf16 wire is EXACT when the forward computes in bf16 (the default:
+    # windows get cast on device anyway) and halves the host->device bytes —
+    # the r2-measured end-to-end wall (exp/infer_upload_ab.py: f32 blob
+    # 1080 ms vs bf16 617 ms == device-resident 621 ms on the same pool)
+    if wire_dtype == "auto":
+        import jax.numpy as jnp
+
+        wire_dtype = jnp.bfloat16
     logits = sliding_window_inference(
         img, model.spatial_size, sw_batch_size, predictor, overlap=overlap,
         mode="gaussian", num_classes=model.num_classes, mesh=mesh,
-        shard_volume=shard_volume,
+        shard_volume=shard_volume, wire_dtype=wire_dtype,
     )
     logits = np.moveaxis(np.asarray(logits), -1, 0)  # (C, *spatial)
 

@@ -69,6 +69,13 @@ def gaussian_importance(roi_size: Sequence[int], sigma_scale: float = 0.125) -> 
     return w.astype(np.float32)
 
 
+@partial(jax.jit, static_argnames=("row",), donate_argnums=(0,))
+def _update_rows(vol: jax.Array, slab: jax.Array, row: int) -> jax.Array:
+    """Write ``slab`` into ``vol`` at axis-0 offset ``row`` (donated, so the
+    update is in place — no copy of the whole volume per slab)."""
+    return jax.lax.dynamic_update_slice(vol, slab, (row,) + (0,) * (vol.ndim - 1))
+
+
 @partial(jax.jit, static_argnames=("roi", "nd"))
 def _gather_windows(volume: jax.Array, starts: jax.Array, roi: Tuple[int, ...], nd: int):
     """volume (*spatial, C), starts (B, nd) → windows (B, *roi, C)."""
@@ -206,11 +213,24 @@ def sliding_window_inference(
     mesh=None,
     scan_chunks: bool = True,
     shard_volume: bool = False,
+    upload_pipeline="auto",
+    wire_dtype=None,
 ) -> jax.Array:
     """Run tiled inference over an arbitrarily-sized volume.
 
     Returns (*spatial, num_classes) blended logits. The volume is zero-padded
     up to the roi when smaller (result cropped back).
+
+    ``upload_pipeline`` (host numpy input, no mesh): instead of one blocking
+    whole-volume transfer, axis-0 slabs are enqueued ahead of the window
+    chunks that need them, so the host→device wire overlaps device compute
+    (the window grid is axis-0-major, so chunk k only reads rows up to its
+    last start + roi). "auto" = on when the default backend is TPU (where
+    the link — PCIe or a tunnel — is the bottleneck the r2 VERDICT measured:
+    51.8 vs 212.8 vols/min). ``wire_dtype`` (e.g. ``jnp.bfloat16``) casts the
+    host volume before upload — half the wire bytes; the bf16 model consumes
+    bf16 windows anyway, so only the input quantization changes
+    (characterized in tests/infer/test_upload_pipeline.py).
 
     With ``mesh``, window batches are sharded over the mesh's 'data' axis so
     the model forward fans out across chips (the spatial analog of context
@@ -247,21 +267,40 @@ def sliding_window_inference(
         window_sharding = batch_sharding(mesh, len(roi_size) + 2)
     else:
         window_sharding = None
-    volume = jnp.asarray(volume)
     nd = len(roi_size)
+    host_np = isinstance(volume, np.ndarray)
+    pipeline_on = bool(upload_pipeline) and host_np and mesh is None
+    if upload_pipeline == "auto":
+        pipeline_on = pipeline_on and jax.default_backend() == "tpu"
+    if host_np and wire_dtype is not None:
+        volume = volume.astype(wire_dtype)
+    if not pipeline_on:
+        volume = jnp.asarray(volume)
     spatial = volume.shape[:nd]
 
     # probe classes with one minimal window if not given
     if num_classes is None:
-        probe_vol = volume
-        pad0 = [max(roi_size[a] - spatial[a], 0) for a in range(nd)]
-        if any(pad0):
-            probe_vol = jnp.pad(
-                volume, [(0, p) for p in pad0] + [(0, 0)]
+        if pipeline_on:
+            win = volume[
+                tuple(slice(0, min(roi_size[a], spatial[a])) for a in range(nd))
+            ]
+            win = np.pad(
+                win,
+                [(0, roi_size[a] - win.shape[a]) for a in range(nd)] + [(0, 0)],
             )
-        probe = predictor(
-            _gather_windows(probe_vol, jnp.zeros((1, nd), jnp.int32), tuple(roi_size), nd)
-        )
+            probe = predictor(jnp.asarray(win)[None])
+        else:
+            probe_vol = volume
+            pad0 = [max(roi_size[a] - spatial[a], 0) for a in range(nd)]
+            if any(pad0):
+                probe_vol = jnp.pad(
+                    volume, [(0, p) for p in pad0] + [(0, 0)]
+                )
+            probe = predictor(
+                _gather_windows(
+                    probe_vol, jnp.zeros((1, nd), jnp.int32), tuple(roi_size), nd
+                )
+            )
         n_classes = probe.shape[-1]
     else:
         n_classes = num_classes
@@ -286,7 +325,7 @@ def sliding_window_inference(
 
     if any(pad):
         widths = [(lo[a], pad[a] - lo[a]) for a in range(nd)] + [(0, 0)]
-        volume = jnp.pad(volume, widths)
+        volume = (np.pad if pipeline_on else jnp.pad)(volume, widths)
     padded = volume.shape[:nd]
 
     starts = window_starts(padded, roi_size, overlap, align=align)
@@ -323,7 +362,25 @@ def sliding_window_inference(
     # the short tail chunk (if any) falls through to the Python loop below.
     start_i = 0
     n_full = n // sw_batch_size
-    if scan_chunks and mesh is None and n_full >= 1:
+    slabs: List = []
+    bounds: List = []
+    if pipeline_on:
+        # pipelined upload: enqueue EVERY slab transfer now (async), then
+        # integrate each slab right before the first chunk that reads it —
+        # the wire for slab k+1 overlaps chunk k's device compute (the
+        # window grid is axis-0-major, so per-chunk row needs are monotone)
+        roi0 = roi_size[0]
+        host_vol = volume
+        rows = 0
+        for i in range(0, n, sw_batch_size):
+            need = min(
+                int(all_starts[i : i + sw_batch_size, 0].max()) + roi0, padded[0]
+            )
+            bounds.append((rows, need) if need > rows else None)
+            rows = max(rows, need)
+        slabs = [jnp.asarray(host_vol[b[0] : b[1]]) if b else None for b in bounds]
+        volume = jnp.zeros(tuple(padded) + (host_vol.shape[-1],), host_vol.dtype)
+    elif scan_chunks and mesh is None and n_full >= 1:
         chunks = jnp.asarray(
             all_starts[: n_full * sw_batch_size].reshape(n_full, sw_batch_size, nd)
         )
@@ -333,7 +390,9 @@ def sliding_window_inference(
         acc, wacc = run(volume, acc, wacc, chunks, importance)
         start_i = n_full * sw_batch_size
 
-    for i in range(start_i, n, sw_batch_size):
+    for ci, i in enumerate(range(start_i, n, sw_batch_size)):
+        if pipeline_on and slabs[ci] is not None:
+            volume = _update_rows(volume, slabs[ci], bounds[ci][0])
         chunk = all_starts[i : i + sw_batch_size]
         short = len(chunk) < sw_batch_size
         if short:  # pad to static batch, drop duplicate results before blending
@@ -657,6 +716,8 @@ class SlidingWindowInferer:
         use_pallas="auto",
         mesh=None,
         shard_volume: bool = False,
+        upload_pipeline="auto",
+        wire_dtype=None,
     ):
         self.roi_size = list(roi_size)
         self.sw_batch_size = sw_batch_size
@@ -665,6 +726,8 @@ class SlidingWindowInferer:
         self.use_pallas = use_pallas
         self.mesh = mesh
         self.shard_volume = shard_volume
+        self.upload_pipeline = upload_pipeline
+        self.wire_dtype = wire_dtype
 
     def __call__(self, volume, predictor: Callable):
         return sliding_window_inference(
@@ -677,4 +740,6 @@ class SlidingWindowInferer:
             use_pallas=self.use_pallas,
             mesh=self.mesh,
             shard_volume=self.shard_volume,
+            upload_pipeline=self.upload_pipeline,
+            wire_dtype=self.wire_dtype,
         )
