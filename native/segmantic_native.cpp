@@ -72,9 +72,23 @@ void dt1d(const float* f, float* d, int n, double h, int* v, double* z) {
   }
 }
 
+int64_t max_threads() {
+  // SEGMANTIC_NATIVE_THREADS caps the pool (scaling harnesses; pinned
+  // deployments); default = all hardware threads
+  static int64_t cap = [] {
+    const char* env = std::getenv("SEGMANTIC_NATIVE_THREADS");
+    if (env) {
+      long v = std::atol(env);
+      if (v > 0) return static_cast<int64_t>(v);
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    return static_cast<int64_t>(hw ? hw : 4);
+  }();
+  return cap;
+}
+
 void parallel_for(int64_t n, const std::function<void(int64_t, int64_t)>& fn) {
-  unsigned hw = std::thread::hardware_concurrency();
-  int64_t n_threads = std::min<int64_t>(hw ? hw : 4, n);
+  int64_t n_threads = std::min<int64_t>(max_threads(), n);
   if (n_threads <= 1) {
     fn(0, n);
     return;
@@ -1045,11 +1059,14 @@ inline uint16_t f32_to_bf16(float v) {
 
 extern "C" {
 
-// image: (C, S0, S1, S2) float32, label: (S0, S1, S2) int32 (labels < 256)
+// image: (C, S0, S1, S2) float32
+// label: (S0, S1, S2) int32, or uint8 when lbl_u8 (labels < 256 either way —
+//        uint8 input avoids the caller converting the WHOLE cached volume
+//        to int32 on every batch)
 // starts: (B, 3) int64 (may be out of bounds -> zero pad)
 // img_out: (B, O0, O1, O2, C) float32 or bf16(uint16) when to_bf16
 // lbl_out: (B, O0, O1, O2) uint8
-void crop_patches_3d(const float* img, const int32_t* lbl,
+void crop_patches_3d(const float* img, const void* lbl, int lbl_u8,
                      const int64_t* shape, int64_t channels,
                      const int64_t* starts, int64_t batch,
                      const int64_t* out_size, int to_bf16, void* img_out,
@@ -1107,11 +1124,18 @@ void crop_patches_3d(const float* img, const int32_t* lbl,
             }
           }
           if (lo_out) {
-            const int32_t* lsrc = lbl + src_row + cx0;
             uint8_t* ldst = lo_out + row_base;
             for (int64_t x = 0; x < d0; ++x) ldst[x] = 0;
-            for (int64_t x = 0; x < n; ++x)
-              ldst[d0 + x] = static_cast<uint8_t>(lsrc[x]);
+            if (lbl_u8) {
+              const uint8_t* lsrc =
+                  static_cast<const uint8_t*>(lbl) + src_row + cx0;
+              std::memcpy(ldst + d0, lsrc, static_cast<size_t>(n));
+            } else {
+              const int32_t* lsrc =
+                  static_cast<const int32_t*>(lbl) + src_row + cx0;
+              for (int64_t x = 0; x < n; ++x)
+                ldst[d0 + x] = static_cast<uint8_t>(lsrc[x]);
+            }
             for (int64_t x = d0 + n; x < O2; ++x) ldst[x] = 0;
           }
         }

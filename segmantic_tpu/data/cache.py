@@ -216,11 +216,19 @@ class PatchSampler:
     def _sample_batch_native(self, picks) -> Tuple[np.ndarray, np.ndarray]:
         """Fused C++ pad+crop+transpose+cast, multithreaded over the batch
         (the CacheDataset hot-loop analogue); output identical to the numpy
-        path — per-volume runs preserve batch order."""
+        path — per-volume runs preserve batch order. The full batch is
+        allocated once and per-volume runs write into their slice (no
+        np.concatenate recopy); uint8 cached labels pass to C++ as-is."""
+        import ml_dtypes
         from .. import native
 
         to_bf16 = np.dtype(self.image_wire_dtype).itemsize == 2
-        img_parts, lbl_parts = [], []
+        img_dtype = ml_dtypes.bfloat16 if to_bf16 else np.float32
+        b = len(picks)
+        c = picks[0][0].image.numpy().shape[0]
+        out_sz = tuple(self.margin_size)
+        img_out = np.empty((b,) + out_sz + (c,), img_dtype)
+        lbl_out = np.empty((b,) + out_sz, np.uint8)
         i = 0
         while i < len(picks):
             vol = picks[i][0]
@@ -229,17 +237,16 @@ class PatchSampler:
             while j < len(picks) and picks[j][0] is vol:
                 starts.append(picks[j][1])
                 j += 1
-            img, lbl = native.crop_patches_3d(
+            native.crop_patches_3d(
                 vol.image.numpy(),
                 vol.label.numpy()[0],
                 np.asarray(starts, np.int64),
                 self.margin_size,
                 to_bf16=to_bf16,
+                out=(img_out[i:j], lbl_out[i:j]),
             )
-            img_parts.append(img)
-            lbl_parts.append(lbl)
             i = j
-        return np.concatenate(img_parts), np.concatenate(lbl_parts)
+        return img_out, lbl_out
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         while True:

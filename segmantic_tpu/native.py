@@ -88,7 +88,8 @@ def _load() -> ctypes.CDLL:
         lib.surface_free.argtypes = [ctypes.c_void_p]
         lib.crop_patches_3d.argtypes = [
             ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_void_p,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
@@ -270,14 +271,21 @@ def write_ply(path, verts: np.ndarray, tris: np.ndarray) -> None:
 
 def crop_patches_3d(
     image: np.ndarray,  # (C, S0, S1, S2) float32
-    label: Optional[np.ndarray],  # (S0, S1, S2) int (labels < 256) or None
+    label: Optional[np.ndarray],  # (S0, S1, S2) uint8|int32 (labels < 256) or None
     starts: np.ndarray,  # (B, 3) int64
     out_size: Sequence[int],
     to_bf16: bool = False,
+    out: Optional[Tuple[np.ndarray, Optional[np.ndarray]]] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Multithreaded batched margin-patch crop (zero pad, channel-last,
     fused dtype cast). Returns (images (B, *out, C) f32|bf16,
-    labels (B, *out) uint8 or None)."""
+    labels (B, *out) uint8 or None).
+
+    uint8 labels pass straight through (no whole-volume int32 conversion —
+    that conversion used to dominate the per-batch host cost). ``out`` lets
+    the caller provide preallocated (and batch-sliced) destination arrays so
+    multi-volume batches assemble in place instead of via np.concatenate.
+    """
     import ml_dtypes
 
     lib = _load()
@@ -288,20 +296,34 @@ def crop_patches_3d(
     out_sz = tuple(int(s) for s in out_size)
 
     img_dtype = ml_dtypes.bfloat16 if to_bf16 else np.float32
-    img_out = np.empty((b,) + out_sz + (c,), img_dtype)
+    if out is not None:
+        img_out, lbl_out = out
+        assert img_out.shape == (b,) + out_sz + (c,) and img_out.dtype == img_dtype
+        assert img_out.flags["C_CONTIGUOUS"]
+    else:
+        img_out = np.empty((b,) + out_sz + (c,), img_dtype)
+        lbl_out = np.empty((b,) + out_sz, np.uint8) if label is not None else None
+
     if label is not None:
-        label = np.ascontiguousarray(label, np.int32)
-        lbl_out = np.empty((b,) + out_sz, np.uint8)
+        if label.dtype != np.uint8:
+            label = np.ascontiguousarray(label, np.int32)
+        elif not label.flags["C_CONTIGUOUS"]:
+            label = np.ascontiguousarray(label)
+        assert lbl_out is not None and lbl_out.shape == (b,) + out_sz
+        assert lbl_out.dtype == np.uint8 and lbl_out.flags["C_CONTIGUOUS"]
         lbl_ptr = lbl_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-        lbl_src = label.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        lbl_src = label.ctypes.data_as(ctypes.c_void_p)
+        lbl_u8 = 1 if label.dtype == np.uint8 else 0
     else:
         lbl_out = None
         lbl_ptr = ctypes.POINTER(ctypes.c_uint8)()
-        lbl_src = ctypes.POINTER(ctypes.c_int32)()
+        lbl_src = ctypes.c_void_p()
+        lbl_u8 = 0
 
     lib.crop_patches_3d(
         image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         lbl_src,
+        lbl_u8,
         _as_i64(image.shape[1:]),
         c,
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
