@@ -345,6 +345,256 @@ def phase_conv_gemm_p(p: jax.Array, w2: jax.Array,
     )(ppad, ppad, ppad, w2)
 
 
+def _dw_kernel_folded(vd, vd1, go, dw_out, hs, pp, patch, acc,
+                      *, H, WF, L2):
+    """dW3 for the folded phase conv: the SAME P'/patch assembly as
+    :func:`_fwd_kernel_folded`, with the plane GEMM transposed —
+    acc (8*L2, L2) f32 accumulates patch^T @ dout across the whole
+    (B, D) grid and is written once at the last step. The result is the
+    cotangent of ``fold_weights_w3(expand_kernel_k2_groups(w))``;
+    :func:`_unfold_dw` carries it back to the true (3,3,3,Ci,Co) kernel."""
+    b = pl.program_id(0)
+    d = pl.program_id(1)
+    B = pl.num_programs(0)
+    D = pl.num_programs(1)
+    L = L2 // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L2), 2)
+    group = (lane % L) // (L // 8)
+    m1 = ((group >> 2) & 1) == 1
+    m2 = ((group >> 1) & 1) == 1
+
+    @pl.when((b == 0) & (d == 0))
+    def _():
+        hs[...] = jnp.zeros_like(hs)
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(d == 0)
+    def _():
+        hs[2, 1:H + 1, 1:WF + 1, :] = jnp.zeros_like(vd[0, 0])
+        hs[0, 1:H + 1, 1:WF + 1, :] = vd[0, 0]
+
+    @pl.when(d + 1 <= D - 1)
+    def _():
+        hs[(d + 1) % 3, 1:H + 1, 1:WF + 1, :] = vd1[0, 0]
+
+    @pl.when(d + 1 > D - 1)
+    def _():
+        hs[(d + 1) % 3, 1:H + 1, 1:WF + 1, :] = jnp.zeros_like(vd1[0, 0])
+
+    def assemble(lo_slot, hi_slot):
+        def term(s, g2):
+            return hs[s, 1 - g2:2 - g2 + H, :, :]
+
+        tlo = jnp.where(m2, term(lo_slot, 1), term(lo_slot, 0))
+        thi = jnp.where(m2, term(hi_slot, 1), term(hi_slot, 0))
+        return jnp.where(m1, tlo, thi)
+
+    @pl.when(d == 0)
+    def _():
+        pp[0] = assemble(2, 0)
+
+    pp[(d + 1) % 2] = assemble(d % 3, (d + 1) % 3)
+
+    par = lane >= L
+    col = 0
+    for a1 in range(2):
+        slot = (d + a1) % 2
+        for a2 in range(2):
+            colA = pp[slot, a2:a2 + H, 1:1 + WF, :].reshape(H * WF, L2)
+            colB = jnp.where(
+                par.reshape(1, L2),
+                pp[slot, a2:a2 + H, 0:WF, :].reshape(H * WF, L2),
+                pp[slot, a2:a2 + H, 2:2 + WF, :].reshape(H * WF, L2),
+            )
+            patch[:, col * L2:(col + 1) * L2] = colA
+            patch[:, (col + 1) * L2:(col + 2) * L2] = colB
+            col += 2
+    g2d = go[0, 0].reshape(H * WF, L2)
+    acc[...] += jax.lax.dot_general(
+        patch[...], g2d, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when((b == B - 1) & (d == D - 1))
+    def _():
+        dw_out[...] = acc[...]
+
+
+def phase_conv_gemm_dw_folded_p(pf: jax.Array, gf: jax.Array,
+                                interpret: bool = False) -> jax.Array:
+    """dW3 (8*L2, L2) f32 for the folded phase conv: pf/gf are the folded
+    input / output-cotangent tensors (B, D, H, WF, L2)."""
+    B, D, H, WF, L2 = pf.shape
+
+    return pl.pallas_call(
+        partial(_dw_kernel_folded, H=H, WF=WF, L2=L2),
+        grid=(B, D),
+        in_specs=[
+            pl.BlockSpec((1, 1, H, WF, L2), lambda b, d: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, H, WF, L2),
+                lambda b, d: (b, jnp.minimum(d + 1, D - 1), 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, WF, L2), lambda b, d: (b, d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8 * L2, L2), lambda b, d: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8 * L2, L2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, H + 2, WF + 2, L2), pf.dtype),
+            pltpu.VMEM((2, H + 1, WF + 2, L2), pf.dtype),
+            pltpu.VMEM((H * WF, 8 * L2), pf.dtype),
+            pltpu.VMEM((8 * L2, L2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pf, pf, gf)
+
+
+def _dw_kernel(v0, v1, v2, go, dw_out, pp, acc, *, H, W, L, C):
+    """dW2 (2,2,2,L,L) for the direct (unfolded) kernel: same P' assembly
+    as :func:`_fwd_kernel`, accumulating pp_slice^T @ dout per tap."""
+    b = pl.program_id(0)
+    d = pl.program_id(1)
+    B = pl.num_programs(0)
+    D = pl.num_programs(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    group = lane // C
+    m1 = ((group >> 2) & 1) == 1
+    m2 = ((group >> 1) & 1) == 1
+    m3 = (group & 1) == 1
+
+    def plane_term(v, g2, g3):
+        return v[0, 0, 1 - g2:1 - g2 + H + 1, 1 - g3:1 - g3 + W + 1, :]
+
+    def hw_select(v):
+        t1 = jnp.where(m3, plane_term(v, 1, 1), plane_term(v, 1, 0))
+        t0 = jnp.where(m3, plane_term(v, 0, 1), plane_term(v, 0, 0))
+        return jnp.where(m2, t1, t0)
+
+    @pl.when((b == 0) & (d == 0))
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(d == 0)
+    def _():
+        pp[0] = jnp.where(m1, hw_select(v0), hw_select(v1))
+
+    pp[(d + 1) % 2] = jnp.where(m1, hw_select(v1), hw_select(v2))
+
+    g2d = go[0, 0].reshape(H * W, L)
+    i = 0
+    for a1 in range(2):
+        slot = (d + a1) % 2
+        for a2 in range(2):
+            for a3 in range(2):
+                op = pp[slot, a2:a2 + H, a3:a3 + W, :].reshape(H * W, L)
+                acc[i] += jax.lax.dot_general(
+                    op, g2d, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                i += 1
+
+    @pl.when((b == B - 1) & (d == D - 1))
+    def _():
+        dw_out[...] = acc[...]
+
+
+def phase_conv_gemm_dw_p(p: jax.Array, g: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """dW2 (8, L, L) f32 for the direct kernel (index 8 = (a1,a2,a3))."""
+    B, D, H, W, L = p.shape
+    C = L // 8
+    ppad = jnp.pad(p, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+
+    def view_spec(dz):
+        return pl.BlockSpec(
+            (1, 1, H + 2, W + 2, L),
+            lambda b, d, dz=dz: (b, d + dz, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    return pl.pallas_call(
+        partial(_dw_kernel, H=H, W=W, L=L, C=C),
+        grid=(B, D),
+        in_specs=[
+            view_spec(0),
+            view_spec(1),
+            view_spec(2),
+            pl.BlockSpec((1, 1, H, W, L), lambda b, d: (b, d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, L, L), lambda b, d: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, L, L), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, H + 1, W + 1, L), p.dtype),
+            pltpu.VMEM((8, L, L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ppad, ppad, ppad, g)
+
+
+def _unfold_dw(dw_flat: jax.Array, w: jax.Array, folded: bool) -> jax.Array:
+    """Carry the kernel's dW2/dW3 cotangent back to the true (3,3,3,Ci,Co)
+    kernel through the adjoint of the (linear) weight expansion."""
+    zeros = jnp.zeros(w.shape, jnp.float32)
+    if folded:
+        L2 = dw_flat.shape[-1]
+        cot = dw_flat.reshape(2, 2, 2, L2, L2).astype(jnp.float32)
+        _, vjpf = jax.vjp(
+            lambda wt: fold_weights_w3(expand_kernel_k2_groups(wt)), zeros)
+    else:
+        L = dw_flat.shape[-1]
+        cot = dw_flat.reshape(2, 2, 2, L, L).astype(jnp.float32)
+        _, vjpf = jax.vjp(lambda wt: expand_kernel_k2_groups(wt), zeros)
+    (dw,) = vjpf(cot)
+    return dw.astype(w.dtype)
+
+
+def _flip_io(w: jax.Array) -> jax.Array:
+    """dx kernel of a SAME stride-1 conv: spatial flip + in/out swap."""
+    return jnp.flip(w, (0, 1, 2)).swapaxes(-1, -2)
+
+
+def phase_conv_gemm_dw(p: jax.Array, g: jax.Array, w: jax.Array,
+                       interpret: bool = False) -> jax.Array:
+    """True-kernel weight gradient dW (3,3,3,Ci,Co) via the implicit-GEMM
+    dw kernels (folded for L=64, direct otherwise)."""
+    if _fold_ok(p.shape):
+        B, D, H, W, L = p.shape
+        pf = p.reshape(B, D, H, W // 2, 2 * L)
+        gf = g.reshape(B, D, H, W // 2, 2 * L)
+        dflat = phase_conv_gemm_dw_folded_p(pf, gf, interpret=interpret)
+        return _unfold_dw(dflat, w, folded=True)
+    dflat = phase_conv_gemm_dw_p(p, g, interpret=interpret)
+    return _unfold_dw(dflat, w, folded=False)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def phase_conv(p: jax.Array, w: jax.Array, interpret: bool = False):
+    """Differentiable phase-space 3^3 SAME conv with implicit-GEMM Pallas
+    backward: dx reuses the forward kernel with the flipped/io-swapped
+    kernel (dx of a SAME stride-1 conv IS that conv), dw runs the
+    transposed-GEMM kernels. Forward routes through the Pallas kernel too;
+    callers that prefer the XLA forward at large batch wrap this with
+    their own routing (see fast_conv.phase_conv_s1)."""
+    return phase_conv_gemm(p, w, interpret=interpret)
+
+
+def _phase_conv_fwd(p, w, interpret):
+    return phase_conv_gemm(p, w, interpret=interpret), (p, w)
+
+
+def _phase_conv_bwd(interpret, res, g):
+    p, w = res
+    dp = phase_conv_gemm(g, _flip_io(w), interpret=interpret)
+    dw = phase_conv_gemm_dw(p, g, w, interpret=interpret)
+    return dp, dw
+
+
+phase_conv.defvjp(_phase_conv_fwd, _phase_conv_bwd)
+
+
 def _fold_ok(p_shape) -> bool:
     b, d, h, w, L = p_shape
     return L == 64 and w % 16 == 0

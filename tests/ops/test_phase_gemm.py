@@ -39,6 +39,40 @@ def test_phase_conv_gemm_matches_expanded_conv(shape, c, folded):
                                atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "shape,c",
+    [
+        ((2, 6, 4, 16), 8),   # folded path (L=64, W%16==0)
+        ((1, 4, 6, 8), 8),    # unfolded L=64
+        ((1, 4, 4, 8), 16),   # unfolded L=128
+    ],
+)
+def test_phase_conv_custom_vjp_matches_autodiff(shape, c):
+    """dx (fwd kernel with flipped/io-swapped weights) and dw (transposed
+    implicit-GEMM kernels + expansion adjoint) against jax.grad of the
+    expanded-k3 conv."""
+    rng = np.random.default_rng(2)
+    b, d, h, w_sp = shape
+    x = rng.normal(size=(b, 2 * d, 2 * h, 2 * w_sp, c)).astype(np.float32)
+    w = (0.3 * rng.normal(size=(3, 3, 3, c, c))).astype(np.float32)
+    p = fc.space_to_depth(jnp.asarray(x))
+    gcot = jnp.asarray(
+        rng.normal(size=p.shape).astype(np.float32))
+
+    def loss_ref(p, w):
+        return jnp.sum(_ref(p, w) * gcot)
+
+    def loss_pg(p, w):
+        return jnp.sum(pg.phase_conv(p, w, True) * gcot)
+
+    dp_ref, dw_ref = jax.grad(loss_ref, argnums=(0, 1))(p, jnp.asarray(w))
+    dp_got, dw_got = jax.grad(loss_pg, argnums=(0, 1))(p, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(dp_got), np.asarray(dp_ref),
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref),
+                               atol=5e-3, rtol=1e-4)
+
+
 def test_fold_weights_carry_exactly_the_true_macs():
     """The folded weight blocks hold each true-window MAC exactly once."""
     rng = np.random.default_rng(1)
