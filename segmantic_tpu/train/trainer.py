@@ -438,12 +438,15 @@ def validate(
     roi: Optional[Sequence[int]] = None,
     sw_batch_size: int = 4,
     val_forward=None,
+    overlap: float = 0.25,
+    blend_mode: str = "gaussian",
 ) -> Tuple[float, float]:
     """Sliding-window validation → (mean val_dice excl. background, val_loss).
 
     Mirrors the reference's validation (roi 160^d, DiceLoss on blended
     logits, DiceMetric(include_background=False); reference:
-    src/segmantic/seg/monai_unet.py:350-397).
+    src/segmantic/seg/monai_unet.py:350-397). ``overlap``/``blend_mode``
+    expose the inferer knobs the reference leaves on MONAI defaults.
     """
     roi = list(roi) if roi else [160] * spatial_dims
     if val_forward is None:
@@ -458,7 +461,8 @@ def validate(
         image = np.moveaxis(vol.image.numpy(), 0, -1)  # (*spatial, C)
         label = vol.label.numpy()[0]
         logits = sliding_window_inference(
-            image, roi, sw_batch_size, predictor, overlap=0.25, mode="gaussian"
+            image, roi, sw_batch_size, predictor, overlap=overlap,
+            mode=blend_mode,
         )
         losses.append(
             float(dice_loss(logits[None], jnp.asarray(label)[None]))
@@ -512,6 +516,8 @@ def train(
     batch_size: int = 2,
     spacing: Sequence[float] = (),
     val_roi_size: Sequence[int] = (),
+    val_overlap: float = 0.25,
+    val_blend_mode: str = "gaussian",
     profile_dir: Optional[Path] = None,
     seed: int = 0,
 ) -> TrainResult:
@@ -708,6 +714,8 @@ def train(
                     model.spatial_dims,
                     roi=list(val_roi_size) if val_roi_size else None,
                     val_forward=val_forward,
+                    overlap=val_overlap,
+                    blend_mode=val_blend_mode,
                 )
             else:
                 val_dice, val_loss = float("nan"), epoch_loss
