@@ -367,21 +367,83 @@ def _phase_k2_on() -> bool:
     )
 
 
+def _phase_gemm_mode() -> str:
+    """SEGMANTIC_PHASE_GEMM: off | on (full Pallas) | hybrid (XLA fwd +
+    Pallas bwd) | auto (route by grid size; the default)."""
+    import os
+
+    return os.environ.get("SEGMANTIC_PHASE_GEMM", "auto").lower()
+
+
+def _phase_conv_xla_k3(p: jax.Array, w: jax.Array) -> jax.Array:
+    nd = p.ndim - 2
+    wsub = expand_s1_kernel(w)
+    return jax.lax.conv_general_dilated(
+        p, wsub.astype(p.dtype), window_strides=(1,) * nd,
+        padding=((1, 1),) * nd, dimension_numbers=_dn(nd))
+
+
+@jax.custom_vjp
+def _phase_conv_hybrid(p: jax.Array, w: jax.Array) -> jax.Array:
+    """XLA expanded-k3 forward (the strongest fwd lowering at large grids)
+    with the Pallas implicit-GEMM backward (dx = fwd kernel on the
+    flipped/io-swapped weights, dw = transposed-GEMM kernel)."""
+    return _phase_conv_xla_k3(p, w)
+
+
+def _phase_conv_hybrid_fwd(p, w):
+    return _phase_conv_xla_k3(p, w), (p, w)
+
+
+def _phase_conv_hybrid_bwd(res, g):
+    from . import phase_gemm
+
+    p, w = res
+    dp = phase_gemm.phase_conv_gemm(g, phase_gemm._flip_io(w))
+    dw = phase_gemm.phase_conv_gemm_dw(p, g, w)
+    return dp, dw
+
+
+_phase_conv_hybrid.defvjp(_phase_conv_hybrid_fwd, _phase_conv_hybrid_bwd)
+
+# grid steps (B*D) below which the FOLDED (L=64) Pallas forward beats
+# XLA's expanded-k3 lowering (measured: d0 1536 steps 1.30x, 4608 steps
+# 0.86x; the direct L>=128 kernel wins at every measured grid — d1 b96
+# 1.32x — so it routes unconditionally). exp/phasegemm_vjp_ab.py.
+_PHASE_GEMM_FWD_MAX_STEPS = 2500
+
+
 def phase_conv_s1(p: jax.Array, w: jax.Array) -> jax.Array:
     """Stride-1 kernel-3 SAME conv applied IN phase space: ``p`` is a
     phase-major tensor (B, *S, 2^nd*Ci) representing the full-resolution
     volume d2s(p); returns the phase tensor of conv3_SAME(d2s(p), w).
 
-    Routes through the kernel-2 re-phased form (:func:`phase_conv_s1_k2`,
-    3.375x FLOP cut) unless SEGMANTIC_PHASE_K2=off selects the original
-    kernel-3 expanded conv."""
+    Routing (3D, TPU, supported shapes): the Pallas implicit-GEMM op
+    (ops/phase_gemm — 3.375x FLOP cut over the 8x-structural-zero expanded
+    conv) carries the backward always and the forward when the (B, D) grid
+    is small enough that it beats XLA's lowering; SEGMANTIC_PHASE_GEMM
+    selects off / on / hybrid / auto. Off TPU (or unsupported shapes) the
+    expanded-k3 XLA conv runs (SEGMANTIC_PHASE_K2=on selects the k2
+    re-phased XLA variant instead — a characterized negative on TPU)."""
     nd = p.ndim - 2
+    mode = _phase_gemm_mode()
+    if mode != "off" and nd == 3 and jax.default_backend() == "tpu":
+        from . import phase_gemm
+
+        if phase_gemm.supported(p.shape, p.dtype):
+            if mode == "on":
+                return phase_gemm.phase_conv(p, w)
+            if mode == "hybrid":
+                return _phase_conv_hybrid(p, w)
+            if mode == "auto":
+                folded = phase_gemm._fold_ok(p.shape)
+                steps = p.shape[0] * p.shape[1]
+                if not folded or steps <= _PHASE_GEMM_FWD_MAX_STEPS:
+                    return phase_gemm.phase_conv(p, w)
+                return _phase_conv_hybrid(p, w)
     if _phase_k2_on():
         return phase_conv_s1_k2(p, w)
-    wsub = expand_s1_kernel(w)
-    return jax.lax.conv_general_dilated(
-        p, wsub.astype(p.dtype), window_strides=(1,) * nd,
-        padding=((1, 1),) * nd, dimension_numbers=_dn(nd))
+    return _phase_conv_xla_k3(p, w)
 
 
 def tile_phase(v: jax.Array, nd: int) -> jax.Array:

@@ -92,3 +92,43 @@ def test_eligibility_gates():
     assert not fast_conv.s2d_s1_eligible((8, 96, 96, 96, 16), (3, 3, 3), (1, 1, 1))
     assert fast_conv.subpixel_eligible((8, 48, 48, 48, 32), 8, (3, 3, 3), (2, 2, 2))
     assert not fast_conv.subpixel_eligible((8, 6, 6, 6, 384), 64, (3, 3, 3), (2, 2, 2))
+
+
+def test_phase_gemm_routing_dispatch(monkeypatch):
+    """phase_conv_s1's SEGMANTIC_PHASE_GEMM dispatch (TPU-only in prod,
+    pinned here with a faked backend + stubbed kernel entry points):
+    on -> Pallas op; hybrid -> XLA-fwd/Pallas-bwd wrapper; auto -> Pallas
+    below the measured grid-step crossover (or unfolded), hybrid above;
+    off / unsupported shapes -> the XLA expanded-k3 conv."""
+    from segmantic_tpu.ops import phase_gemm
+
+    calls = []
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(phase_gemm, "phase_conv",
+                        lambda p, w: calls.append("pallas") or "pallas")
+    monkeypatch.setattr(fast_conv, "_phase_conv_hybrid",
+                        lambda p, w: calls.append("hybrid") or "hybrid")
+    monkeypatch.setattr(fast_conv, "_phase_conv_xla_k3",
+                        lambda p, w: calls.append("xla") or "xla")
+
+    w = jnp.zeros((3, 3, 3, 8, 8), jnp.bfloat16)
+    small = jnp.zeros((1, 8, 8, 16, 64), jnp.bfloat16)      # folded, 8 steps
+    unfolded = jnp.zeros((1, 8, 8, 8, 64), jnp.bfloat16)    # W%16!=0
+    big = jnp.zeros((96, 48, 48, 48, 64), jnp.bfloat16)     # 4608 steps
+    assert big.shape[0] * big.shape[1] > fast_conv._PHASE_GEMM_FWD_MAX_STEPS
+
+    monkeypatch.setenv("SEGMANTIC_PHASE_GEMM", "on")
+    assert fast_conv.phase_conv_s1(small, w) == "pallas"
+    monkeypatch.setenv("SEGMANTIC_PHASE_GEMM", "hybrid")
+    assert fast_conv.phase_conv_s1(small, w) == "hybrid"
+    monkeypatch.setenv("SEGMANTIC_PHASE_GEMM", "auto")
+    assert fast_conv.phase_conv_s1(small, w) == "pallas"
+    assert fast_conv.phase_conv_s1(unfolded, w) == "pallas"
+    assert fast_conv.phase_conv_s1(big, w) == "hybrid"
+    monkeypatch.setenv("SEGMANTIC_PHASE_GEMM", "off")
+    monkeypatch.setenv("SEGMANTIC_PHASE_K2", "off")
+    assert fast_conv.phase_conv_s1(small, w) == "xla"
+    # unsupported lane count falls back regardless of mode
+    monkeypatch.setenv("SEGMANTIC_PHASE_GEMM", "on")
+    bad = jnp.zeros((1, 8, 8, 16, 24), jnp.bfloat16)
+    assert fast_conv.phase_conv_s1(bad, w) == "xla"
