@@ -299,12 +299,14 @@ def supported(p_shape: Tuple[int, ...], dtype=jnp.bfloat16) -> bool:
         return False
     if w % 8 or w < 8:
         return False
-    views = 3 * (h + 2) * (w + 2) * max(L, 128) * 2 * 2
-    pp = 2 * (h + 1) * (w + 1) * max(L, 128) * 2
+    es = jnp.dtype(dtype).itemsize  # input/scratch element size (2 or 4)
+    views = 3 * (h + 2) * (w + 2) * max(L, 128) * es * 2
+    pp = 2 * (h + 1) * (w + 1) * max(L, 128) * es
     acc = h * w * max(L, 128) * 4
-    outb = h * w * max(L, 128) * 2 * 2
-    wmat = 8 * L * max(L, 128) * 2
-    return views + pp + acc + outb + wmat < _VMEM_BUDGET
+    outb = h * w * max(L, 128) * es * 2
+    wmat = 8 * L * max(L, 128) * es
+    patch = 8 * h * w * L * es if _fold_ok(p_shape) else 0
+    return views + pp + acc + outb + wmat + patch < _VMEM_BUDGET
 
 
 def phase_conv_gemm_p(p: jax.Array, w2: jax.Array,

@@ -83,3 +83,13 @@ def test_fold_weights_carry_exactly_the_true_macs():
     np.testing.assert_allclose(
         float(jnp.sum(jnp.abs(w3))), 2 * float(jnp.sum(jnp.abs(w2))),
         rtol=1e-6)
+
+
+def test_supported_accounts_for_dtype():
+    """The VMEM eligibility estimate scales with element size: the bf16
+    production shapes stay eligible, while f32 at the d0 grid (which would
+    need ~2x the kernel scratch) falls back to the XLA conv."""
+    assert pg.supported((96, 48, 48, 48, 64), jnp.bfloat16)
+    assert pg.supported((96, 24, 24, 24, 128), jnp.bfloat16)
+    assert not pg.supported((96, 48, 48, 48, 64), jnp.float32)
+    assert pg.supported((96, 24, 24, 24, 128), jnp.float32)
