@@ -172,9 +172,22 @@ class PatchSampler:
             take = min(self.num_samples, self.batch_size - len(picks))
             for _ in range(take):
                 center = self._sample_center(vol)
-                start = [
-                    center[a] - self.margin_size[a] // 2 for a in range(nd)
-                ]
+                start = []
+                for a in range(nd):
+                    p, s = self.patch_size[a], vol.spatial_shape[a]
+                    if s < p:
+                        # volume smaller than the patch: center it (the
+                        # symmetric SpatialPadd the reference applies)
+                        st = -((p - s) // 2)
+                    else:
+                        # clamp the PATCH window inside the volume like
+                        # MONAI's correct_crop_centers — edge-centered
+                        # crops must carry real voxels, not zero padding
+                        # (unclamped starts measurably slowed convergence
+                        # ~2x on the exp/headtohead_torch.py protocol);
+                        # only the aug margin may hang outside
+                        st = min(max(center[a] - p // 2, 0), s - p)
+                    start.append(st - self.margin)
                 picks.append((vol, start))
 
         # multithreaded C++ crop+pack when eligible (identical output)

@@ -139,3 +139,45 @@ def test_native_cropper_matches_python_path():
             np.asarray(i1, np.float32), np.asarray(i2, np.float32)
         )
         np.testing.assert_array_equal(l1, l2)
+
+
+def test_patch_sampler_clamps_crops_inside_volume():
+    """Edge-centered class voxels must yield FULLY-REAL patches: the crop
+    window is clamped inside the volume like MONAI's correct_crop_centers
+    (reference: RandCropByLabelClassesd, monai_unet.py:195-203); only the
+    augmentation margin may reach into zero padding. Unclamped starts fed
+    ~half-synthetic patches and slowed convergence ~2x
+    (exp/headtohead_torch.py)."""
+    from segmantic_tpu.core.volume import Volume
+    from segmantic_tpu.data.cache import CachedVolume, PatchSampler
+
+    img = np.zeros((1, 20, 20, 20), np.float32)
+    lbl = np.zeros((1, 20, 20, 20), np.int32)
+    lbl[0, 0, 0, 0] = 1   # class voxel in the very corner
+    lbl[0, 19, 19, 19] = 2
+    img[0] = 1.0
+    cv = CachedVolume({"image": Volume(data=img), "label": Volume(data=lbl)}, 3)
+
+    class OneVolCache:
+        num_classes = 3
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return cv
+
+    s = PatchSampler(OneVolCache(), patch_size=(16, 16, 16), batch_size=8,
+                     num_samples=8, margin=0, seed=0)
+    img_b, lbl_b = s.sample_batch()
+    # every patch lies inside the volume: no zero padding anywhere
+    assert np.all(img_b == 1.0)
+
+    # volume smaller than the patch: centered symmetric padding
+    s2 = PatchSampler(OneVolCache(), patch_size=(32, 32, 32), batch_size=2,
+                      num_samples=2, margin=0, seed=0)
+    img_b2, _ = s2.sample_batch()
+    assert img_b2.shape[1:4] == (32, 32, 32)
+    core = img_b2[:, 6:26, 6:26, 6:26, 0]
+    assert np.all(core == 1.0)
+    assert np.all(img_b2[:, :6] == 0.0) and np.all(img_b2[:, 26:] == 0.0)
