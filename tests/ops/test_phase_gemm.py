@@ -93,3 +93,41 @@ def test_supported_accounts_for_dtype():
     assert pg.supported((96, 24, 24, 24, 128), jnp.bfloat16)
     assert not pg.supported((96, 48, 48, 48, 64), jnp.float32)
     assert pg.supported((96, 24, 24, 24, 128), jnp.float32)
+
+
+def test_hybrid_custom_vjp_matches_autodiff(monkeypatch):
+    """fast_conv._phase_conv_hybrid (XLA forward, Pallas implicit-GEMM
+    backward — the large-grid production route) against jax.grad of the
+    expanded-k3 conv, with the Pallas kernels in interpret mode."""
+    from segmantic_tpu.ops import phase_gemm
+
+    real_gemm, real_dw = pg.phase_conv_gemm, pg.phase_conv_gemm_dw
+    monkeypatch.setattr(
+        phase_gemm, "phase_conv_gemm",
+        lambda p, w, interpret=False: real_gemm(p, w, True))
+    monkeypatch.setattr(
+        phase_gemm, "phase_conv_gemm_dw",
+        lambda p, g, w, interpret=False: real_dw(p, g, w, True))
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 12, 8, 16, 8)).astype(np.float32)
+    w = (0.3 * rng.normal(size=(3, 3, 3, 8, 8))).astype(np.float32)
+    p = fc.space_to_depth(jnp.asarray(x))
+    gcot = jnp.asarray(rng.normal(size=p.shape).astype(np.float32))
+
+    def loss_ref(p, w):
+        return jnp.sum(_ref(p, w) * gcot)
+
+    def loss_hy(p, w):
+        return jnp.sum(fc._phase_conv_hybrid(p, w) * gcot)
+
+    # forward identical (it IS the XLA conv)
+    np.testing.assert_allclose(
+        np.asarray(fc._phase_conv_hybrid(p, jnp.asarray(w))),
+        np.asarray(_ref(p, jnp.asarray(w))), atol=1e-5, rtol=1e-5)
+    dp_ref, dw_ref = jax.grad(loss_ref, argnums=(0, 1))(p, jnp.asarray(w))
+    dp_got, dw_got = jax.grad(loss_hy, argnums=(0, 1))(p, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(dp_got), np.asarray(dp_ref),
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref),
+                               atol=5e-3, rtol=1e-4)
