@@ -54,6 +54,13 @@ LR = 1e-3
 BATCH_VOLS = 2
 NUM_SAMPLES = 4
 FLIP_P = 0.2
+# H2H_AUG=1 turns on SPATIAL augmentation both sides: the repo's fused
+# on-device shear-matmul rotation+zoom vs reference-style whole-volume
+# rotation/zoom (scipy affine, rotate-then-crop order like MONAI
+# RandRotated/RandZoomd; reference: monai_unet.py:181-191)
+AUG = os.environ.get("H2H_AUG", "") == "1"
+ROT_P, ROT_RANGE = 0.2, 0.4
+ZOOM_P, ZOOM_RANGE = 0.2, (0.8, 1.3)
 
 
 # ---------------------------------------------------------------- dataset
@@ -99,7 +106,7 @@ def run_jax(root: Path) -> None:
         batch_size=BATCH_VOLS,
         num_samples=NUM_SAMPLES,
         mixed_precision=False,
-        augment_spatial=False,
+        augment_spatial=AUG,
         augment_intensity=False,
         optimizer={"optimizer": "Adam", "lr": LR},
         val_roi_size=(64, 64, 64),
@@ -212,11 +219,45 @@ def run_torch(root: Path) -> None:
     train_vols = [load(c) for c in datalist["training"]]
     val_vols = [load(c) for c in datalist["validation"]]
 
+    def spatial_aug(img, lbl):
+        """Reference-style whole-volume spatial augmentation: per-axis
+        rotations (p=.2, range .4 rad) + isotropic zoom (p=.2, .8-1.3),
+        shape kept, linear/NN interp (MONAI RandRotated/RandZoomd
+        semantics; reference: monai_unet.py:181-191)."""
+        from scipy.ndimage import affine_transform
+
+        rot = np.eye(3)
+        for axis in range(3):
+            if rng.random() >= ROT_P:
+                continue
+            a, b = [d for d in range(3) if d != axis]
+            t = rng.uniform(-ROT_RANGE, ROT_RANGE)
+            m = np.eye(3)
+            m[a, a] = m[b, b] = np.cos(t)
+            m[a, b], m[b, a] = -np.sin(t), np.sin(t)
+            rot = m @ rot
+        zoom = rng.uniform(*ZOOM_RANGE) if rng.random() < ZOOM_P else 1.0
+        if np.allclose(rot, np.eye(3)) and zoom == 1.0:
+            return img, lbl
+        # output voxel o reads input c_in + M (o - c_out), M = inv(R)/zoom
+        mat = np.linalg.inv(rot) / zoom
+        center = (np.asarray(img.shape) - 1) / 2.0
+        offset = center - mat @ center
+        img = affine_transform(img, mat, offset=offset, order=1, cval=0.0)
+        lbl = affine_transform(lbl, mat, offset=offset, order=0, cval=0.0)
+        return img, lbl
+
     def sample_patches(img, lbl, n):
         """Class-balanced crops: centers drawn from fg classes (bg ratio 0;
         reference: monai_unet.py:195-203)."""
+        if AUG:
+            img, lbl = spatial_aug(img, lbl)
+            pad = [(0, max(0, PATCH - s)) for s in img.shape]
+            img, lbl = np.pad(img, pad), np.pad(lbl, pad)
         out = []
         classes = [c for c in np.unique(lbl) if c > 0]
+        if not classes:  # a zoom-out can push all fg out of frame
+            classes = [0]
         locs = {c: np.argwhere(lbl == c) for c in classes}
         for _ in range(n):
             c = classes[rng.integers(len(classes))]
