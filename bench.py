@@ -29,8 +29,16 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
-def run(batch: int) -> float:
-    """One full measurement at this batch; returns voxels/s/chip.
+def run(batch: int) -> tuple:
+    """One full measurement at this batch; returns (voxels/s/chip, mode,
+    per-mode dict).
+
+    When SEGMANTIC_PHASE_GEMM is unset, the Pallas phase-conv routing is
+    self-validated HERE: both an `off` (pure XLA phase convs) and an
+    `auto` (implicit-GEMM routed) step run with interleaved timing rounds
+    in ONE process (the pool is time-shared — cross-run comparisons are
+    noise; ROUND_NOTES), and the faster mode's number is reported. An
+    explicit env value is respected and measured alone.
 
     Raises on OOM so the caller can retry smaller (all per-attempt device
     buffers go out of scope on failure).
@@ -65,12 +73,12 @@ def run(batch: int) -> float:
         jax.random.key(0), jnp.zeros((1,) + patch + (1,), jnp.float32), training=False
     )
     opt = make_optimizer({"optimizer": "Adam", "lr": 1e-4})
-    params = replicate(mesh, variables["params"])
-    batch_stats = replicate(mesh, variables.get("batch_stats", {}))
-    opt_state = replicate(mesh, opt.init(params))
+    host_params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    host_bstats = jax.tree_util.tree_map(
+        np.asarray, variables.get("batch_stats", {})
+    )
 
     aug_cfg = AugmentConfig(spatial=True, intensity=True)
-    step = make_train_step(model, opt, aug_cfg, patch, mixed_precision=True)
 
     rng = np.random.default_rng(0)
     image = rng.standard_normal((batch,) + margin_shape + (1,)).astype(np.float32)
@@ -82,33 +90,69 @@ def run(batch: int) -> float:
     )
     label_d = jax.device_put(label, batch_sharding(mesh, label.ndim))
 
-    key = jax.random.key(0)
+    env_mode = os.environ.get("SEGMANTIC_PHASE_GEMM")
+    modes = [env_mode]
+    if env_mode is None and jax.default_backend() == "tpu":
+        modes = ["off", "auto"]
 
-    # warmup / compile
-    params, batch_stats, opt_state, loss = step(
-        params, batch_stats, opt_state, image_d, label_d, key
-    )
-    jax.block_until_ready(loss)
+    variants = {}
+    try:
+        for mode in modes:
+            if mode is not None:
+                os.environ["SEGMANTIC_PHASE_GEMM"] = mode
+            # fresh donated state chain per variant (the step consumes its
+            # device params); env is read at trace time, so set it before
+            # the compile/warmup call
+            params = replicate(
+                mesh, jax.tree_util.tree_map(jnp.asarray, host_params)
+            )
+            batch_stats = replicate(
+                mesh, jax.tree_util.tree_map(jnp.asarray, host_bstats)
+            )
+            opt_state = replicate(mesh, opt.init(params))
+            step = make_train_step(
+                model, opt, aug_cfg, patch, mixed_precision=True
+            )
+            state = [params, batch_stats, opt_state, jax.random.key(0)]
+            loss = step(
+                state[0], state[1], state[2], image_d, label_d, state[3]
+            )
+            state[0], state[1], state[2], loss = loss
+            float(loss)  # full sync (device-to-host) before timing
+            variants[mode or "env"] = (step, state)
+    finally:
+        # an OOM retry at a smaller batch must re-enter the dual-mode A/B
+        if env_mode is None:
+            os.environ.pop("SEGMANTIC_PHASE_GEMM", None)
 
-    float(loss)  # full sync (device-to-host) before timing
-
-    # the TPU pool is time-shared: take the best of several timing rounds.
+    # the TPU pool is time-shared: take the best of several timing rounds,
+    # INTERLEAVED across variants so they see the same pool conditions.
     # NOTE: end each round with a host transfer — through the remote-TPU
     # tunnel block_until_ready alone does not reliably fence execution.
     steps, rounds = 4, 3
-    best_dt = float("inf")
+    best_dt = {name: float("inf") for name in variants}
     for _ in range(rounds):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            key, sub = jax.random.split(key)
-            params, batch_stats, opt_state, loss = step(
-                params, batch_stats, opt_state, image_d, label_d, sub
+        for name, (step, state) in variants.items():
+            params, batch_stats, opt_state, key = state
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                key, sub = jax.random.split(key)
+                params, batch_stats, opt_state, loss = step(
+                    params, batch_stats, opt_state, image_d, label_d, sub
+                )
+            float(loss)  # blocks until the chain of steps has executed
+            best_dt[name] = min(best_dt[name], time.perf_counter() - t0)
+            state[0], state[1], state[2], state[3] = (
+                params, batch_stats, opt_state, key,
             )
-        float(loss)  # blocks until the chain of steps has executed
-        best_dt = min(best_dt, time.perf_counter() - t0)
 
     voxels_per_step = batch * int(np.prod(patch))
-    return voxels_per_step * steps / best_dt / n_chips
+    per_mode = {
+        name: round(voxels_per_step * steps / dt / n_chips, 1)
+        for name, dt in best_dt.items()
+    }
+    winner = max(per_mode, key=per_mode.get)
+    return per_mode[winner], winner, per_mode
 
 
 def main() -> None:
@@ -116,7 +160,7 @@ def main() -> None:
     batches = (128, 96, 64)
     for batch in batches:
         try:
-            vox_per_sec_per_chip = run(batch)
+            vox_per_sec_per_chip, mode, per_mode = run(batch)
             break
         except Exception as e:  # OOM -> retry smaller; match the XLA status
             # name only (a generic substring like 'memory' would swallow
@@ -135,6 +179,9 @@ def main() -> None:
         "unit": "voxels/s/chip",
         "vs_baseline": round(vox_per_sec_per_chip / 50000.0, 3),
     }
+    if len(per_mode) > 1:  # record the routing self-validation outcome
+        result["phase_gemm"] = mode
+        result["phase_gemm_modes"] = per_mode
     if batch != batches[0]:  # make a silent OOM fallback visible to the driver
         result["batch"] = batch
         result["oom_fallback"] = True
