@@ -94,6 +94,8 @@ def cross_validate_cmd(config_file: Optional[Path], print_defaults: bool) -> Non
               help="rematerialize the forward in backward to save HBM")
 @click.option("--zero-optimizer/--no-zero-optimizer", default=False,
               help="ZeRO-1: shard optimizer moments over the data axis")
+@click.option("--arch", type=click.Choice(["unet", "segresnet"]),
+              default="unet", help="segmentation architecture")
 def train_cmd(
     datalist_file: Path,
     tissue_list: Optional[Path],
@@ -105,8 +107,9 @@ def train_cmd(
     accumulate_steps: int,
     remat: bool,
     zero_optimizer: bool,
+    arch: str,
 ) -> None:
-    """Train UNet directly from flags."""
+    """Train a segmentation model directly from flags."""
     from ..train import trainer
 
     trainer.train(
@@ -120,6 +123,7 @@ def train_cmd(
         accumulate_steps=accumulate_steps,
         remat=remat,
         zero_optimizer=zero_optimizer,
+        arch=arch,
     )
 
 

@@ -50,7 +50,8 @@ def executor_supported(module: UNet) -> bool:
     to ``module.apply`` (still correct, just not rewritten).
     """
     return (
-        module.spatial_dims == 3
+        isinstance(module, UNet)
+        and module.spatial_dims == 3
         and module.kernel_size == 3
         and module.up_kernel_size == 3
         and module.norm.upper() in ("BATCH", "NONE")

@@ -1,3 +1,4 @@
+from .segresnet import SegResNet
 from .unet import UNet
 
-__all__ = ["UNet"]
+__all__ = ["SegResNet", "UNet"]

@@ -123,8 +123,17 @@ class SegmentationModel:
         act: str = "PRELU",
         num_res_units: int = 2,
         norm: str = "BATCH",
+        arch: str = "unet",
+        arch_params: Optional[dict] = None,
         seed: int = 0,
     ) -> "SegmentationModel":
+        """``arch`` selects the architecture: ``unet`` (the reference's
+        topology, configured by channels/strides/num_res_units/norm/act) or
+        ``segresnet`` (configured by ``arch_params``:
+        init_filters/blocks_down/blocks_up/norm/act — canonical GroupNorm +
+        ReLU defaults; the UNet-oriented top-level keys do not apply)."""
+        arch = (arch or "unet").lower()
+        ap = dict(arch_params or {})
         hparams = {
             "num_classes": num_classes,
             "num_channels": num_channels,
@@ -136,19 +145,43 @@ class SegmentationModel:
             "act": act,
             "num_res_units": num_res_units,
             "norm": norm,
+            "arch": arch,
+            "arch_params": ap,
         }
-        module = UNet(
-            spatial_dims=spatial_dims,
-            in_channels=num_channels,
-            out_channels=num_classes,
-            channels=tuple(channels),
-            strides=tuple(strides),
-            dropout=dropout,
-            act=act,
-            num_res_units=num_res_units,
-            norm=norm,
-        )
-        probe_shape = (1,) + (max(16, 2 ** len(strides)),) * spatial_dims + (
+        if arch == "unet":
+            module = UNet(
+                spatial_dims=spatial_dims,
+                in_channels=num_channels,
+                out_channels=num_classes,
+                channels=tuple(channels),
+                strides=tuple(strides),
+                dropout=dropout,
+                act=act,
+                num_res_units=num_res_units,
+                norm=norm,
+            )
+            depth = len(strides)
+        elif arch == "segresnet":
+            from ..models.segresnet import SegResNet
+
+            blocks_down = tuple(ap.get("blocks_down", (1, 2, 2, 4)))
+            module = SegResNet(
+                spatial_dims=spatial_dims,
+                in_channels=num_channels,
+                out_channels=num_classes,
+                init_filters=int(ap.get("init_filters", 8)),
+                blocks_down=blocks_down,
+                blocks_up=tuple(
+                    ap.get("blocks_up", (1,) * (len(blocks_down) - 1))
+                ),
+                norm=ap.get("norm", "GROUP"),
+                act=ap.get("act", "RELU"),
+                dropout=dropout,
+            )
+            depth = len(blocks_down) - 1
+        else:
+            raise ValueError(f"unsupported arch {arch!r}")
+        probe_shape = (1,) + (max(16, 2 ** depth),) * spatial_dims + (
             num_channels,
         )
         variables = module.init(
@@ -178,15 +211,38 @@ class SegmentationModel:
             act=h.get("act", "PRELU"),
             num_res_units=h.get("num_res_units", 2),
             norm=h.get("norm", "BATCH"),
+            arch=h.get("arch", "unet"),
+            arch_params=h.get("arch_params"),
         )
         template = model.variables
-        restored = jax.tree_util.tree_map(
-            lambda t, s: np.asarray(s, dtype=np.asarray(t).dtype).reshape(
-                np.asarray(t).shape
-            ),
-            template,
-            ckpt["variables"],
-        )
+        stored = dict(ckpt["variables"])
+        # tolerate empty collections on either side: a GroupNorm model has
+        # no batch_stats, but the trainer saves the collection (as {})
+        extra = {
+            k: v for k, v in stored.items() if k not in template and v
+        }
+        if extra:
+            raise ValueError(
+                f"checkpoint has unexpected variable collections: "
+                f"{sorted(extra)}"
+            )
+        missing = [
+            k for k, v in template.items() if v and k not in stored
+        ]
+        if missing:
+            raise ValueError(
+                f"checkpoint is missing variable collections: {missing}"
+            )
+        restored = {
+            col: jax.tree_util.tree_map(
+                lambda t, s: np.asarray(s, dtype=np.asarray(t).dtype).reshape(
+                    np.asarray(t).shape
+                ),
+                tmpl,
+                stored.get(col, tmpl),
+            )
+            for col, tmpl in template.items()
+        }
         model.variables = restored
         return model
 
@@ -500,6 +556,8 @@ def train(
     act: str = "PRELU",
     num_res_units: int = 2,
     norm: str = "BATCH",
+    arch: str = "unet",
+    arch_params: dict = {},
     num_samples: int = 4,
     optimizer: Optional[dict] = None,
     lr_scheduling: Optional[dict] = None,
@@ -574,6 +632,8 @@ def train(
             act=act,
             num_res_units=num_res_units,
             norm=norm,
+            arch=arch,
+            arch_params=arch_params,
             seed=seed,
         )
     patch_size = model.spatial_size
