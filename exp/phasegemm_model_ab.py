@@ -3,7 +3,9 @@
 bench batch, SEGMANTIC_PHASE_GEMM=off vs auto, interleaved in one process
 (time-shared pool). Each variant keeps its own donated state chain.
 
-Run: python exp/phasegemm_model_ab.py [BATCH [STEPS_PER_ROUND]]
+Run: python exp/phasegemm_model_ab.py [BATCH [STEPS_PER_ROUND [MODE MODE...]]]
+(default modes: off auto; any SEGMANTIC_PHASE_GEMM mode name works, e.g.
+``off xdx`` for the XLA forward-style-dp VJP)
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    modes = tuple(sys.argv[3:]) or ("off", "auto")
 
     patch = (96, 96, 96)
     margin = 24
@@ -80,13 +83,12 @@ def main():
         float(run_once())
         return run_once
 
-    run_off = make("off")
-    run_auto = make("auto")
+    runners = {m: make(m) for m in modes}
 
-    best = {"off": float("inf"), "auto": float("inf")}
+    best = {m: float("inf") for m in modes}
     losses = {}
     for _ in range(4):
-        for name, fn in (("off", run_off), ("auto", run_auto)):
+        for name, fn in runners.items():
             t0 = time.perf_counter()
             for _ in range(n_steps):
                 loss = fn()
@@ -94,14 +96,17 @@ def main():
             best[name] = min(best[name],
                              (time.perf_counter() - t0) / n_steps)
     vox = batch * int(np.prod(patch))
-    print(
-        f"B={batch}: step off {best['off']*1e3:7.2f} ms "
-        f"({vox/best['off']/1e6:6.1f} Mvox/s)  auto {best['auto']*1e3:7.2f} "
-        f"ms ({vox/best['auto']/1e6:6.1f} Mvox/s)  "
-        f"speedup {best['off']/best['auto']:4.2f}x | loss "
-        f"off {losses['off']:.5f} auto {losses['auto']:.5f}",
-        flush=True,
+    base = modes[0]
+    parts = [
+        f"{m} {best[m]*1e3:7.2f} ms ({vox/best[m]/1e6:6.1f} Mvox/s)"
+        for m in modes
+    ]
+    speed = " ".join(
+        f"{base}/{m} {best[base]/best[m]:4.2f}x" for m in modes[1:]
     )
+    lossstr = " ".join(f"{m} {losses[m]:.5f}" for m in modes)
+    print(f"B={batch}: step " + "  ".join(parts) + f"  {speed} | loss "
+          + lossstr, flush=True)
 
 
 if __name__ == "__main__":

@@ -406,6 +406,37 @@ def _phase_conv_hybrid_bwd(res, g):
 
 _phase_conv_hybrid.defvjp(_phase_conv_hybrid_fwd, _phase_conv_hybrid_bwd)
 
+
+@jax.custom_vjp
+def _phase_conv_xdx(p: jax.Array, w: jax.Array) -> jax.Array:
+    """XLA expanded-k3 conv with an XLA FORWARD-STYLE dp: XLA's autodiff of
+    the expanded conv lowers dp as a transposed conv and (measured,
+    exp/hlo_cycles.py b96) inserts three full-tensor relayout copies around
+    it in the d0 decoder backward. dp of a SAME stride-1 conv IS the same
+    conv with the spatially-flipped, io-swapped kernel (the identity the
+    Pallas VJP in ops/phase_gemm.py already uses and autodiff-tests), so
+    re-expressing dp as a plain forward conv keeps the strong forward
+    lowering on both sides. dw replays XLA's own vjp (it was not the copy
+    source)."""
+    return _phase_conv_xla_k3(p, w)
+
+
+def _phase_conv_xdx_fwd(p, w):
+    return _phase_conv_xla_k3(p, w), (p, w)
+
+
+def _phase_conv_xdx_bwd(res, g):
+    from . import phase_gemm
+
+    p, w = res
+    dp = _phase_conv_xla_k3(g, phase_gemm._flip_io(w))
+    _, vjp_w = jax.vjp(lambda ww: _phase_conv_xla_k3(p, ww), w)
+    (dw,) = vjp_w(g)
+    return dp, dw
+
+
+_phase_conv_xdx.defvjp(_phase_conv_xdx_fwd, _phase_conv_xdx_bwd)
+
 # grid steps (B*D) below which the FOLDED (L=64) Pallas forward beats
 # XLA's expanded-k3 lowering (measured: d0 1536 steps 1.30x, 4608 steps
 # 0.86x; the direct L>=128 kernel wins at every measured grid — d1 b96
@@ -427,6 +458,8 @@ def phase_conv_s1(p: jax.Array, w: jax.Array) -> jax.Array:
     re-phased XLA variant instead — a characterized negative on TPU)."""
     nd = p.ndim - 2
     mode = _phase_gemm_mode()
+    if mode == "xdx" and nd == 3:
+        return _phase_conv_xdx(p, w)
     if mode != "off" and nd == 3 and jax.default_backend() == "tpu":
         from . import phase_gemm
 
