@@ -152,7 +152,25 @@ def run(batch: int) -> tuple:
         for name, dt in best_dt.items()
     }
     winner = max(per_mode, key=per_mode.get)
-    return per_mode[winner], winner, per_mode
+
+    # auditable utilization: analytic USEFUL FLOPs (model fwd+bwd + the
+    # augmentation banded matmuls; redundant/structural-zero work in the
+    # phase rewrites is NOT credited) over wall time vs the v5e bf16 peak
+    from segmantic_tpu.utils.flops import TPU_V5E_BF16_PEAK, flagship_step_flops
+
+    flops = flagship_step_flops(batch, patch, margin, num_classes)
+    step_time = voxels_per_step * steps / (per_mode[winner] * n_chips) / steps
+    mfu = {
+        "step_flops": round(flops["step"] / 1e9, 1),  # GFLOP, fwd+bwd+aug
+        "mfu_pct": round(
+            flops["step"] / step_time / (n_chips * TPU_V5E_BF16_PEAK) * 100, 2
+        ),
+        "mfu_model_pct": round(
+            flops["model_fwd_bwd"] / step_time / (n_chips * TPU_V5E_BF16_PEAK) * 100,
+            2,
+        ),
+    }
+    return per_mode[winner], winner, per_mode, mfu
 
 
 def main() -> None:
@@ -160,7 +178,7 @@ def main() -> None:
     batches = (128, 96, 64)
     for batch in batches:
         try:
-            vox_per_sec_per_chip, mode, per_mode = run(batch)
+            vox_per_sec_per_chip, mode, per_mode, mfu = run(batch)
             break
         except Exception as e:  # OOM -> retry smaller; match the XLA status
             # name only (a generic substring like 'memory' would swallow
@@ -178,6 +196,7 @@ def main() -> None:
         "value": round(vox_per_sec_per_chip, 1),
         "unit": "voxels/s/chip",
         "vs_baseline": round(vox_per_sec_per_chip / 50000.0, 3),
+        **mfu,
     }
     if len(per_mode) > 1:  # record the routing self-validation outcome
         result["phase_gemm"] = mode

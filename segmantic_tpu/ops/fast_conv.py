@@ -369,7 +369,8 @@ def _phase_k2_on() -> bool:
 
 def _phase_gemm_mode() -> str:
     """SEGMANTIC_PHASE_GEMM: off | on (full Pallas) | hybrid (XLA fwd +
-    Pallas bwd) | auto (route by grid size; the default)."""
+    Pallas bwd) | auto (route by grid size; the default) | xdx (XLA fwd +
+    forward-style XLA dp — any backend, 3D only)."""
     import os
 
     return os.environ.get("SEGMANTIC_PHASE_GEMM", "auto").lower()
@@ -453,7 +454,9 @@ def phase_conv_s1(p: jax.Array, w: jax.Array) -> jax.Array:
     (ops/phase_gemm — 3.375x FLOP cut over the 8x-structural-zero expanded
     conv) carries the backward always and the forward when the (B, D) grid
     is small enough that it beats XLA's lowering; SEGMANTIC_PHASE_GEMM
-    selects off / on / hybrid / auto. Off TPU (or unsupported shapes) the
+    selects off / on / hybrid / auto / xdx (xdx = XLA fwd with the dp
+    re-expressed as a forward conv on flipped/io-swapped weights — runs on
+    any backend, 3D only). Off TPU (or unsupported shapes) the
     expanded-k3 XLA conv runs (SEGMANTIC_PHASE_K2=on selects the k2
     re-phased XLA variant instead — a characterized negative on TPU)."""
     nd = p.ndim - 2

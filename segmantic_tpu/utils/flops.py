@@ -1,0 +1,173 @@
+"""Analytic FLOP counts for the flagship training step (MFU accounting).
+
+Counts the USEFUL floating-point work by formula — not what XLA happens to
+execute (e.g. the expanded phase convs run 8x-redundant FLOPs; crediting
+those would inflate utilization). Conventions:
+
+- a conv is ``2 * out_voxels * prod(kernel) * C_in * C_out`` FLOPs
+  (multiply + add);
+- a stride-s transposed conv is ``2 * in_voxels * prod(kernel) * C_in *
+  C_out`` (every input voxel contributes to ``prod(kernel)`` outputs);
+- backward = 2x forward (the dx conv and the dw GEMM each cost one
+  forward; dx of the first layer is counted — <1% slack);
+- the fused augmentation's banded shear/scale einsums are counted at
+  their dense matmul cost (that IS the algorithm on the MXU), walking the
+  exact per-pass extent schedule from :mod:`segmantic_tpu.ops.shear_resample`
+  for both the order-1 image chain and the order-0 one-hot label chain;
+- pointwise work (norm, activations, flips, intensity zoo, Adam) and the
+  small dice matmuls are O(voxels) with tiny constants and are excluded —
+  this keeps the MFU figure conservative (reported utilization can only
+  be understated by these omissions).
+
+The reference publishes no utilization numbers
+(reference: README.md — absent); this module exists so ``bench.py`` can
+emit an auditable ``mfu_pct`` against the TPU peak.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+# Dense bf16 peak of one TPU v5e (v5 lite) chip, FLOPs/s.
+TPU_V5E_BF16_PEAK = 197e12
+
+
+def _conv_flops(out_voxels: int, kernel: int, nd: int, c_in: int, c_out: int) -> float:
+    return 2.0 * out_voxels * (kernel**nd) * c_in * c_out
+
+
+def unet_fwd_flops(
+    patch: Sequence[int],
+    in_channels: int,
+    out_channels: int,
+    channels: Sequence[int] = (16, 32, 64, 128, 256),
+    strides: Sequence[int] = (2, 2, 2, 2),
+    num_res_units: int = 2,
+    kernel_size: int = 3,
+    up_kernel_size: int = 3,
+) -> float:
+    """Forward conv FLOPs of one sample through ``models.unet.UNet``.
+
+    Walks the same encoder / bottom / decoder structure as the flax module
+    (residual units with projection shortcuts, transposed-conv decoder with
+    skip concatenation). Counts true convolution work — the phase-space /
+    space-to-depth rewrites are FLOP-preserving reformulations of the same
+    convs (their structural-zero padding is NOT credited).
+    """
+    nd = len(patch)
+    shape = tuple(patch)
+    k = kernel_size
+    total = 0.0
+
+    def vox(s: Tuple[int, ...]) -> int:
+        return int(math.prod(s))
+
+    def down(s: Tuple[int, ...], stride: int) -> Tuple[int, ...]:
+        return tuple(-(-d // stride) for d in s)
+
+    # encoder
+    c_prev = in_channels
+    skip_shapes = []  # (shape, channels) after each encoder level
+    for c, s in zip(channels[:-1], strides):
+        out_shape = down(shape, s)
+        if num_res_units > 0:
+            total += _conv_flops(vox(out_shape), k, nd, c_prev, c)  # strided
+            for _ in range(num_res_units - 1):
+                total += _conv_flops(vox(out_shape), k, nd, c, c)
+            if s != 1 or c_prev != c:  # projection shortcut (k^nd when strided)
+                rk = k if s != 1 else 1
+                total += _conv_flops(vox(out_shape), rk, nd, c_prev, c)
+        else:
+            total += _conv_flops(vox(out_shape), k, nd, c_prev, c)
+        skip_shapes.append((out_shape, c))
+        shape, c_prev = out_shape, c
+
+    # bottom (stride 1)
+    c = channels[-1]
+    if num_res_units > 0:
+        total += _conv_flops(vox(shape), k, nd, c_prev, c)
+        for _ in range(num_res_units - 1):
+            total += _conv_flops(vox(shape), k, nd, c, c)
+        if c_prev != c:
+            total += _conv_flops(vox(shape), 1, nd, c_prev, c)
+    else:
+        total += _conv_flops(vox(shape), k, nd, c_prev, c)
+    c_prev = c
+
+    # decoder (deepest first); level-0 maps straight to out_channels
+    for level in reversed(range(len(strides))):
+        skip_shape, skip_c = skip_shapes[level]
+        cat_c = c_prev + skip_c
+        out_feats = out_channels if level == 0 else channels[level - 1]
+        s = strides[level]
+        up_shape = tuple(d * s for d in shape)
+        # transposed conv: every input voxel feeds k^nd outputs
+        total += _conv_flops(vox(shape), up_kernel_size, nd, cat_c, out_feats)
+        if num_res_units > 0:  # one res subunit, identity shortcut
+            total += _conv_flops(vox(up_shape), k, nd, out_feats, out_feats)
+        shape, c_prev = up_shape, out_feats
+    return total
+
+
+def augment_flops(
+    batch: int,
+    margin_shape: Sequence[int],
+    out_shape: Sequence[int],
+    image_channels: int = 1,
+    angle_max: float = 0.4,
+    zoom_min: float = 0.8,
+) -> float:
+    """Banded shear/scale matmul FLOPs of the fused spatial augmentation.
+
+    Replays the exact 9-pass folded schedule (rotation + zoom) that
+    ``train.augment`` runs — the order-1 image chain plus the order-0
+    one-hot label chain (same einsum shapes) — using the real per-pass
+    extent schedule. Intensity/flip work is pointwise and excluded.
+    """
+    from ..ops.shear_resample import _extent_schedule, _folded_pass_list
+
+    nd = len(margin_shape)
+    passes, divz = _folded_pass_list(nd, nd if nd == 3 else 1)
+    extents = _extent_schedule(
+        tuple(margin_shape), tuple(out_shape), passes, angle_max,
+        min(zoom_min, 1.0), divz,
+    )
+    per_sample = 0.0
+    shape = list(margin_shape)
+    for (kind, a, b, _), ext in zip(passes, extents):
+        m = min(ext, shape[a])
+        na = shape[a]
+        rest = math.prod(shape) // na  # includes the b axis
+        per_sample += 2.0 * m * na * rest  # (NB, M, NA) einsum, C folded in rest
+        shape[a] = m
+    # image chain (C channels) + label chain (1 channel, same shapes)
+    return per_sample * batch * (image_channels + 1)
+
+
+def flagship_step_flops(
+    batch: int,
+    patch: Sequence[int],
+    margin: int,
+    num_classes: int,
+    channels: Sequence[int] = (16, 32, 64, 128, 256),
+    strides: Sequence[int] = (2, 2, 2, 2),
+    num_res_units: int = 2,
+) -> dict:
+    """FLOPs of one production train step at the bench configuration.
+
+    Returns ``{"model_fwd", "model_fwd_bwd", "augment", "step"}`` —
+    ``step = model_fwd_bwd + augment`` is the figure ``bench.py`` divides
+    by wall time for ``mfu_pct``.
+    """
+    fwd = batch * unet_fwd_flops(
+        patch, 1, num_classes, channels, strides, num_res_units
+    )
+    margin_shape = tuple(p + 2 * margin for p in patch)
+    aug = augment_flops(batch, margin_shape, patch)
+    return {
+        "model_fwd": fwd,
+        "model_fwd_bwd": 3.0 * fwd,
+        "augment": aug,
+        "step": 3.0 * fwd + aug,
+    }

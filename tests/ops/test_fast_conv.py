@@ -132,3 +132,37 @@ def test_phase_gemm_routing_dispatch(monkeypatch):
     monkeypatch.setenv("SEGMANTIC_PHASE_GEMM", "on")
     bad = jnp.zeros((1, 8, 8, 16, 24), jnp.bfloat16)
     assert fast_conv.phase_conv_s1(bad, w) == "xla"
+    # xdx dispatches before the TPU/shape gates (any backend, 3D only)
+    monkeypatch.setattr(fast_conv, "_phase_conv_xdx",
+                        lambda p, w: calls.append("xdx") or "xdx")
+    monkeypatch.setenv("SEGMANTIC_PHASE_GEMM", "xdx")
+    assert fast_conv.phase_conv_s1(small, w) == "xdx"
+    assert fast_conv.phase_conv_s1(bad, w) == "xdx"
+
+
+def test_xdx_custom_vjp_matches_autodiff():
+    """fast_conv._phase_conv_xdx (XLA fwd; dp re-expressed as a forward
+    conv on the flipped/io-swapped kernel, dw replaying XLA's own vjp)
+    against jax.grad of the expanded-k3 conv — runs on CPU."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 12, 8, 16, 8)).astype(np.float32)
+    w = (0.3 * rng.normal(size=(3, 3, 3, 8, 8))).astype(np.float32)
+    p = fast_conv.space_to_depth(jnp.asarray(x))
+    gcot = jnp.asarray(rng.normal(size=p.shape).astype(np.float32))
+
+    def loss_ref(p, w):
+        return jnp.sum(fast_conv._phase_conv_xla_k3(p, w) * gcot)
+
+    def loss_xdx(p, w):
+        return jnp.sum(fast_conv._phase_conv_xdx(p, w) * gcot)
+
+    wj = jnp.asarray(w)
+    np.testing.assert_allclose(
+        np.asarray(fast_conv._phase_conv_xdx(p, wj)),
+        np.asarray(fast_conv._phase_conv_xla_k3(p, wj)), rtol=1e-6)
+    dp_ref, dw_ref = jax.grad(loss_ref, argnums=(0, 1))(p, wj)
+    dp_got, dw_got = jax.grad(loss_xdx, argnums=(0, 1))(p, wj)
+    np.testing.assert_allclose(np.asarray(dp_got), np.asarray(dp_ref),
+                               atol=5e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref),
+                               atol=5e-5, rtol=1e-5)
