@@ -66,15 +66,27 @@ def main(
             (p[0].relative_to(data_dir), p[1].relative_to(data_dir)) for p in matches
         ]
         random.Random(seed).shuffle(pairs)
-        test, pairs = pairs[:10], pairs[10:]
-        num_valid = int(percent * 0.2 * len(pairs))
-        num_training = len(pairs) - num_valid if percent >= 1.0 else 4 * num_valid
+        # split arithmetic (behavior parity with the reference datalist
+        # builder): the first 10 shuffled cases are held out as the test
+        # set; a `percent`-scaled 20% of the remainder validates. Below
+        # percent=1 the training split shrinks in proportion (4 training
+        # cases per validation case) rather than absorbing the leftovers.
+        n_test = 10
+        test = pairs[:n_test]
+        pool = pairs[n_test:]
+        num_valid = int(0.2 * percent * len(pool))
+        if percent >= 1.0:
+            num_training = len(pool) - num_valid
+        else:
+            num_training = 4 * num_valid
 
         data_config["training"] = [
-            {"image": str(im), "label": str(lb)} for im, lb in pairs[:num_training]
+            {"image": str(im), "label": str(lb)}
+            for im, lb in pool[:num_training]
         ]
         data_config["validation"] = [
-            {"image": str(im), "label": str(lb)} for im, lb in pairs[-num_valid:]
+            {"image": str(im), "label": str(lb)}
+            for im, lb in pool[len(pool) - num_valid:]
         ] if num_valid else []
         data_config["test"] = [str(im) for im, _ in test]
 
