@@ -231,6 +231,10 @@ def sliding_window_inference(
     host volume before upload — half the wire bytes; the bf16 model consumes
     bf16 windows anyway, so only the input quantization changes
     (characterized in tests/infer/test_upload_pipeline.py).
+    ``jnp.float8_e4m3fn`` quarters the wire and is LOSSY: measured envelope
+    on a trained model (tests/infer/test_fp8_wire.py) is 99.93% argmax
+    agreement and per-class Dice >= 0.998 vs the f32 wire — safe for bf16
+    models on z-scored inputs, not for calibration-sensitive consumers.
 
     With ``mesh``, window batches are sharded over the mesh's 'data' axis so
     the model forward fans out across chips (the spatial analog of context

@@ -49,6 +49,72 @@ def _center(n: int) -> float:
     return (n - 1) / 2.0
 
 
+def rotation_matrix(nd: int, angles: jax.Array) -> jax.Array:
+    """Compose per-axis content rotations (axis order 0,1,2) into one
+    nd x nd matrix — the matrix the shear chain factorizes."""
+    if nd == 2:
+        c, s = jnp.cos(angles[0]), jnp.sin(angles[0])
+        return jnp.array([[c, -s], [s, c]])
+    rot = jnp.eye(3)
+    for axis in range(3):
+        a, b = [d for d in range(3) if d != axis]
+        c, s = jnp.cos(angles[axis]), jnp.sin(angles[axis])
+        m = jnp.eye(3)
+        m = m.at[a, a].set(c).at[a, b].set(-s).at[b, a].set(s).at[b, b].set(c)
+        rot = m @ rot
+    return rot
+
+
+def rotate_zoom_nn_gather(
+    x: jax.Array,
+    angles: jax.Array,
+    zoom: jax.Array,
+    out_shape: Sequence[int],
+) -> jax.Array:
+    """Direct composed-affine nearest-neighbor resample: the label twin of
+    ``rotate_zoom_shear(order=0)`` + center crop, as ONE flat gather.
+
+    The 9-pass NN chain rounds to the grid after every pass; composing the
+    same rotation+zoom into a single affine (``in = R.T @ (out - c)/z + c``
+    about the full-frame center) and rounding ONCE is the ideal-resample
+    semantics MONAI's ``Rand{Rotate,Zoom}d(mode="nearest")`` applies to
+    label maps (reference: src/segmantic/seg/monai_unet.py:187-205). The
+    gather stays in the label's native integer dtype (1 byte/voxel on the
+    u8 wire vs the chain's bf16 matmuls) and uses the chain's
+    translation-invariant ``floor(pos + 0.5)`` rounding.
+    """
+    nd = x.ndim - 1
+    in_shape = x.shape[1:]
+    rot = rotation_matrix(nd, angles)
+    inv = rot.T / zoom.astype(jnp.float32)  # in = rot.T @ (out - c)/z + c
+
+    # output window center-aligned in the full frame (same net offset as
+    # the extent-scheduled chain + center_crop: (n - m) // 2 per axis)
+    grids = [
+        jax.lax.broadcasted_iota(jnp.float32, tuple(out_shape), dimension=a)
+        + float((in_shape[a] - out_shape[a]) // 2)
+        - _center(in_shape[a])
+        for a in range(nd)
+    ]
+    strides = [1] * nd
+    for a in range(nd - 2, -1, -1):
+        strides[a] = strides[a + 1] * in_shape[a + 1]
+
+    inside = jnp.ones(tuple(out_shape), dtype=bool)
+    lin = jnp.zeros(tuple(out_shape), jnp.int32)
+    for a in range(nd):
+        pos = sum(inv[a, b] * grids[b] for b in range(nd)) + _center(in_shape[a])
+        i = jnp.floor(pos + 0.5).astype(jnp.int32)
+        inside &= (i >= 0) & (i <= in_shape[a] - 1)
+        lin = lin + jnp.clip(i, 0, in_shape[a] - 1) * strides[a]
+
+    flat = x.reshape(x.shape[0], -1)  # native dtype: u8 labels gather as u8
+    out = jnp.take(flat, lin.reshape(-1), axis=1).reshape(
+        (x.shape[0],) + tuple(out_shape)
+    )
+    return jnp.where(inside[None], out, jnp.zeros((), x.dtype))
+
+
 def _interp_matrix(pos: jax.Array, n_in: int, order: int) -> jax.Array:
     """Banded interpolation matrix W with W[..., o, u] the weight of input
     sample u for output position o (rows of out-of-range positions are 0).

@@ -21,7 +21,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.shear_resample import center_crop, rotate_zoom_shear
+from ..ops.shear_resample import (
+    center_crop,
+    rotate_zoom_nn_gather,
+    rotate_zoom_shear,
+    rotation_matrix,
+)
 from ..transforms import intensity_ops as iops
 
 
@@ -52,21 +57,16 @@ class AugmentConfig:
     # ~0.4% interp-weight noise is below the cast that follows anyway.
     # Labels are unaffected (their one-hot path is bf16-exact regardless).
     interp_bf16: bool = True
+    # resample labels with ONE composed-affine NN gather instead of the
+    # 9-pass one-hot shear chain — the ideal rotate+zoom semantics (rounds
+    # once, like MONAI mode="nearest") at a fraction of the matmul work;
+    # differs from the chain only where per-pass rounding disagrees with
+    # the single rounding (boundary voxels)
+    label_affine_gather: bool = True
 
 
-def _rotation_matrix(nd: int, angles: jax.Array) -> jax.Array:
-    """Compose per-axis rotations into one nd x nd matrix (traced angles)."""
-    if nd == 2:
-        c, s = jnp.cos(angles[0]), jnp.sin(angles[0])
-        return jnp.array([[c, -s], [s, c]])
-    rot = jnp.eye(3)
-    for axis in range(3):
-        a, b = [d for d in range(3) if d != axis]
-        c, s = jnp.cos(angles[axis]), jnp.sin(angles[axis])
-        m = jnp.eye(3)
-        m = m.at[a, a].set(c).at[a, b].set(-s).at[b, a].set(s).at[b, b].set(c)
-        rot = m @ rot
-    return rot
+# the composed rotation (shared with the shear chain's oracle tests)
+_rotation_matrix = rotation_matrix
 
 
 def _random_spatial_params(key: jax.Array, cfg: AugmentConfig, nd: int):
@@ -104,10 +104,15 @@ def _augment_one(
             image, angles, zoom, order=1, out_shape=out_shape,
             angle_max=cfg.rotate_range, zoom_min=zoom_min, bf16=cfg.interp_bf16,
         )
-        label = rotate_zoom_shear(
-            label, angles, zoom, order=0, out_shape=out_shape,
-            angle_max=cfg.rotate_range, zoom_min=zoom_min,
-        )
+        if cfg.label_affine_gather:
+            # one composed-affine NN gather (rounds once — the ideal
+            # rotate+zoom label semantics); emits out_shape directly
+            label = rotate_zoom_nn_gather(label, angles, zoom, out_shape)
+        else:
+            label = rotate_zoom_shear(
+                label, angles, zoom, order=0, out_shape=out_shape,
+                angle_max=cfg.rotate_range, zoom_min=zoom_min,
+            )
     image = center_crop(image, out_shape)
     label = center_crop(label, out_shape)
 
