@@ -110,14 +110,20 @@ def main():
     img_d = jax.device_put(img_h.astype(jnp.bfloat16))
     lbl_d = jax.device_put(lbl_h)
 
+    # host copies: the jitted step donates params/bstats/opt_state, so each
+    # variant must device_put fresh buffers (jnp.asarray would alias the
+    # first variant's donated arrays and fail)
+    params_h = jax.tree_util.tree_map(np.asarray, variables["params"])
+    bstats_h = jax.tree_util.tree_map(
+        np.asarray, variables.get("batch_stats", {}))
+
     states, steps_fn = {}, {}
     for name, flag in (("chain", False), ("direct", True)):
         cfg = AugmentConfig(spatial=True, intensity=True,
                             label_affine_gather=flag)
         step = make_train_step(model, opt, cfg, patch, mixed_precision=True)
-        params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
-        bstats = jax.tree_util.tree_map(
-            jnp.asarray, variables.get("batch_stats", {}))
+        params = jax.tree_util.tree_map(jnp.asarray, params_h)
+        bstats = jax.tree_util.tree_map(jnp.asarray, bstats_h)
         state = [params, bstats, opt.init(params), jax.random.key(0)]
         out = step(state[0], state[1], state[2], img_d, lbl_d, state[3])
         state[0], state[1], state[2], loss = out

@@ -48,6 +48,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--cases", type=int, default=8)
+    ap.add_argument("--arch", default="unet", choices=["unet", "segresnet"])
     args = ap.parse_args()
 
     from segmantic_tpu.core.volume import Volume, affine_from_spacing_origin
@@ -84,8 +85,10 @@ def main():
             optimizer={"optimizer": "Adam", "lr": 1e-3},
             val_roi_size=(64, 64, 64),
             seed=0,
+            arch=args.arch,
         )
-        print(f"RESULT best_val_dice={result.best_val_dice:.4f} "
+        print(f"RESULT arch={args.arch} "
+              f"best_val_dice={result.best_val_dice:.4f} "
               f"epoch={result.best_val_epoch}")
 
 

@@ -59,10 +59,14 @@ class AugmentConfig:
     interp_bf16: bool = True
     # resample labels with ONE composed-affine NN gather instead of the
     # 9-pass one-hot shear chain — the ideal rotate+zoom semantics (rounds
-    # once, like MONAI mode="nearest") at a fraction of the matmul work;
-    # differs from the chain only where per-pass rounding disagrees with
-    # the single rounding (boundary voxels)
-    label_affine_gather: bool = True
+    # once, like MONAI mode="nearest"); differs from the chain only where
+    # per-pass rounding disagrees with the single rounding (boundary
+    # voxels). MEASURED 25x SLOWER on TPU v5e (exp/label_affine_ab.py b96:
+    # gather 1167 ms vs chain 45.6 ms/batch): the flat 1D take over the
+    # 144^3 margin volume serializes on the scalar unit while the banded
+    # one-hot chain rides the MXU. Kept opt-in for exact single-rounding
+    # semantics on CPU/small volumes; default stays the shear chain.
+    label_affine_gather: bool = False
 
 
 # the composed rotation (shared with the shear chain's oracle tests)
