@@ -57,14 +57,30 @@ def run(batch: int) -> tuple:
     margin_shape = tuple(p + 2 * margin for p in patch)
     num_classes = 8
 
-    model = UNet(
-        spatial_dims=3,
-        in_channels=1,
-        out_channels=num_classes,
-        channels=(16, 32, 64, 128, 256),
-        strides=(2, 2, 2, 2),
-        num_res_units=2,
-    )
+    # SEGMANTIC_BENCH_ARCH=segresnet benches the second architecture with
+    # the same production step (train(arch=...) defaults); the driver's
+    # flagship number is the default UNet
+    arch = os.environ.get("SEGMANTIC_BENCH_ARCH", "unet").lower()
+    if arch == "segresnet":
+        from segmantic_tpu.models.segresnet import SegResNet
+
+        model = SegResNet(
+            spatial_dims=3,
+            in_channels=1,
+            out_channels=num_classes,
+            init_filters=8,
+            blocks_down=(1, 2, 2, 4),
+            blocks_up=(1, 1, 1),
+        )
+    else:
+        model = UNet(
+            spatial_dims=3,
+            in_channels=1,
+            out_channels=num_classes,
+            channels=(16, 32, 64, 128, 256),
+            strides=(2, 2, 2, 2),
+            num_res_units=2,
+        )
 
     mesh = make_mesh()
     n_chips = mesh.devices.size
@@ -155,21 +171,35 @@ def run(batch: int) -> tuple:
 
     # auditable utilization: analytic USEFUL FLOPs (model fwd+bwd + the
     # augmentation banded matmuls; redundant/structural-zero work in the
-    # phase rewrites is NOT credited) over wall time vs the v5e bf16 peak
-    from segmantic_tpu.utils.flops import TPU_V5E_BF16_PEAK, flagship_step_flops
+    # phase rewrites is NOT credited) over wall time vs the v5e bf16 peak.
+    # The analytic count is flagship-UNet-specific; other archs skip MFU.
+    mfu = {}
+    if arch == "unet":
+        from segmantic_tpu.utils.flops import (
+            TPU_V5E_BF16_PEAK,
+            flagship_step_flops,
+        )
 
-    flops = flagship_step_flops(batch, patch, margin, num_classes)
-    step_time = voxels_per_step * steps / (per_mode[winner] * n_chips) / steps
-    mfu = {
-        "step_flops": round(flops["step"] / 1e9, 1),  # GFLOP, fwd+bwd+aug
-        "mfu_pct": round(
-            flops["step"] / step_time / (n_chips * TPU_V5E_BF16_PEAK) * 100, 2
-        ),
-        "mfu_model_pct": round(
-            flops["model_fwd_bwd"] / step_time / (n_chips * TPU_V5E_BF16_PEAK) * 100,
-            2,
-        ),
-    }
+        flops = flagship_step_flops(batch, patch, margin, num_classes)
+        step_time = (
+            voxels_per_step * steps / (per_mode[winner] * n_chips) / steps
+        )
+        mfu = {
+            "step_flops": round(flops["step"] / 1e9, 1),  # GFLOP, fwd+bwd+aug
+            "mfu_pct": round(
+                flops["step"] / step_time / (n_chips * TPU_V5E_BF16_PEAK) * 100,
+                2,
+            ),
+            "mfu_model_pct": round(
+                flops["model_fwd_bwd"]
+                / step_time
+                / (n_chips * TPU_V5E_BF16_PEAK)
+                * 100,
+                2,
+            ),
+        }
+    else:
+        mfu = {"arch": arch}
     return per_mode[winner], winner, per_mode, mfu
 
 

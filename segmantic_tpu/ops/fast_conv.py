@@ -418,7 +418,13 @@ def _phase_conv_xdx(p: jax.Array, w: jax.Array) -> jax.Array:
     Pallas VJP in ops/phase_gemm.py already uses and autodiff-tests), so
     re-expressing dp as a plain forward conv keeps the strong forward
     lowering on both sides. dw replays XLA's own vjp (it was not the copy
-    source)."""
+    source).
+
+    MEASURED A WASH at the production b96 step (exp/phasegemm_model_ab.py
+    96 off xdx: 365.9 vs 367.1 ms interleaved, losses bit-identical) — the
+    cost model's 68.5 ms relayout estimate does not survive integration;
+    XLA re-inserts equivalent layout work around the forward-style dp.
+    Kept for targeted use (exact, autodiff-tested) but not routed."""
     return _phase_conv_xla_k3(p, w)
 
 
