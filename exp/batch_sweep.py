@@ -29,6 +29,7 @@ def main():
     from segmantic_tpu.train.trainer import make_train_step
 
     print("backend:", jax.default_backend(), flush=True)
+    BATCHES = tuple(int(b) for b in sys.argv[1:]) or (32, 96, 128)
     patch = (96, 96, 96)
     margin = tuple(p + 48 for p in patch)
     model = UNet(spatial_dims=3, in_channels=1, out_channels=8,
@@ -64,12 +65,12 @@ def main():
 
     res = {}
     for rep in ("", "2"):
-        for B in (32, 96, 128):
+        for B in BATCHES:
             t = bench(B)
             res[(B, rep)] = t
             print(f"B={B:3d}{rep:1s} {t*1e3:8.2f} ms  "
                   f"{B*vox/t/1e6:7.1f} Mvox/s", flush=True)
-    for B in (32, 96, 128):
+    for B in BATCHES:
         t = min(res[(B, "")], res[(B, "2")])
         print(f"best B={B}: {B*vox/t/1e6:.1f} Mvox/s", flush=True)
 

@@ -25,6 +25,20 @@ bf16 carry) on the b96 image-chain shape, interleaved in one process.
 Numerics are checked against the XLA path first (order-1 tolerance ~1e-2
 bf16 GEMM noise; order-0 exact).
 
+RESULT (TPU v5e, b96, r4): **NEGATIVE — 0.70x.** The kernel is BIT-EXACT
+vs the XLA segment (max|diff| = 0.0, orders 0 and 1) but slower: XLA group
+21.98 ms vs Pallas 31.31 ms (FSP_TRANSPOSE=jnp; needed
+vmem_limit_bytes=100MB — the in-kernel (144,144,128) transpose's scoped
+allocation is 49.5 MB). The per-coef banded dots (144 x (144,144)@(144,128)
+per pass) are MXU-padding/issue-bound, which costs more than the inter-pass
+relayout copies the residency saves — XLA's batched GEMM is already near
+the practical floor. FSP_TRANSPOSE=slice (fusing the transpose into
+mid-dim operand reads) is structurally impossible: Mosaic requires
+dynamic sublane indices to be multiples of 8 ("cannot statically prove
+that index in dimension 1 is a multiple of 8"). Production is FURTHER from
+this kernel's best case: augment vmaps PER-SAMPLE angles, so row tiles
+cannot share W. Fourth confirmation of "don't pallas what XLA runs dense".
+
 Run: python exp/fused_shear_pallas.py [BATCH [ITERS]]
 """
 
@@ -81,16 +95,27 @@ def make_group_kernel(order: int, n_rows: int, transpose_mode: str = "jnp"):
         ).start()
         s1 = s1_ref[0, 0]
         s2 = s2_ref[0, 0]
-        o_iota = jax.lax.broadcasted_iota(jnp.float32, (N, N), 0)
-        u_iota = jax.lax.broadcasted_iota(jnp.float32, (N, N), 1)
+        # Mosaic: iota must be integer-typed; convert for the f32 math
+        o_iota = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0).astype(
+            jnp.float32)
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1).astype(
+            jnp.float32)
         pltpu.make_async_copy(
             x_ref.at[:, :, pl.ds(i * RT, RT)], buf0, sem_in
         ).wait()
 
-        def shear(src, dst, s):
+        def shear(src, dst, s, mid):
+            """One banded pass. ``mid``: the coef axis is src's MIDDLE
+            (sublane-group) dim — slicing it per-iteration fuses the
+            inter-pass transpose into the operand read, so the roles of
+            (leading, sublane) swap for free and lanes (rows) never move."""
+
             def body(b, _):
                 w = _build_w(o_iota, u_iota, b.astype(jnp.float32), s, N, order)
-                tile = src[pl.ds(b, 1)].reshape(N, RT)
+                if mid:
+                    tile = src[:, pl.ds(b, 1), :].reshape(N, RT)
+                else:
+                    tile = src[pl.ds(b, 1)].reshape(N, RT)
                 y = jax.lax.dot_general(
                     w.astype(jnp.bfloat16), tile,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -101,21 +126,16 @@ def make_group_kernel(order: int, n_rows: int, transpose_mode: str = "jnp"):
 
             jax.lax.fori_loop(0, N, body, 0)
 
-        def transpose(src, dst):
-            if transpose_mode == "jnp":
-                dst[:] = jnp.transpose(src[:], (1, 0, 2))
-            else:  # per-slice fallback
-                def body(b, _):
-                    dst[pl.ds(b, 1)] = src[:, b, :][None]
-                    return 0
-
-                jax.lax.fori_loop(0, N, body, 0)
-
-        shear(buf0, buf1, s1)  # pass 1: contract d1, coef d2
-        transpose(buf1, buf0)  # (d2, d1', rt) -> (d1', d2, rt)
-        shear(buf0, buf1, s2)  # pass 2: contract d2, coef d1'
-        transpose(buf1, buf0)  # -> (d2', d1', rt)
-        shear(buf0, buf1, s1)  # pass 3: contract d1', coef d2'
+        if transpose_mode == "jnp":  # explicit transposes between passes
+            shear(buf0, buf1, s1, mid=False)
+            buf0[:] = jnp.transpose(buf1[:], (1, 0, 2))
+            shear(buf0, buf1, s2, mid=False)
+            buf0[:] = jnp.transpose(buf1[:], (1, 0, 2))
+            shear(buf0, buf1, s1, mid=False)
+        else:  # "slice": transposes fused into mid-dim operand reads
+            shear(buf0, buf1, s1, mid=False)  # (d2,d1,rt) -> (d2,d1',rt)
+            shear(buf1, buf0, s2, mid=True)   # -> (d1',d2',rt)
+            shear(buf0, buf1, s1, mid=True)   # -> (d2',d1'',rt)
         cp = pltpu.make_async_copy(
             buf1, out_ref.at[:, :, pl.ds(i * RT, RT)], sem_out
         )
@@ -139,7 +159,8 @@ def make_group_kernel(order: int, n_rows: int, transpose_mode: str = "jnp"):
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=os.environ.get("FSP_INTERPRET", "") == "1",
     )

@@ -24,6 +24,19 @@ by default (no cross-device batch statistics needed under dp).
 reference context: the upstream framework wraps a single architecture
 (src/segmantic/seg/monai_unet.py:105-124); this module is a capability
 extension, selected via ``train(arch="segresnet")``.
+
+Perf-machinery applicability (measured r4, TPU v5e):
+- phase-space decoder stages / phase-major dice do NOT apply
+  (``phase_top_ok() -> False``: additive skips keep full-res stages, and
+  GroupNorm has no foldable running stats) — the trainer consults the
+  duck-typed gate, and `SEGMANTIC_PHASE_GEMM` off vs auto is a measured
+  wash on this architecture (bench.py arch knob, both ~147.9M);
+- the eval executor (`infer.executor`) gates on the UNet topology and
+  falls back to plain ``module.apply`` here (correct, just not rewritten);
+- measured: 147.9M labeled voxels/s/chip at batch 128 (the production
+  train step via ``SEGMANTIC_BENCH_ARCH=segresnet python bench.py``);
+  0.7901 best val Dice @25 epochs (`exp/train_quality.py --arch
+  segresnet`; the flagship UNet reaches 0.9720 on the same task).
 """
 
 from __future__ import annotations

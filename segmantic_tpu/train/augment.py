@@ -67,6 +67,17 @@ class AugmentConfig:
     # one-hot chain rides the MXU. Kept opt-in for exact single-rounding
     # semantics on CPU/small volumes; default stays the shear chain.
     label_affine_gather: bool = False
+    # run the rotation+zoom chain on an EXACT-COUNT random batch subset
+    # (count = round(P[any rotation or zoom] * B)) instead of vmapping the
+    # full chain over every sample: under vmap, samples that draw the
+    # identity transform (0.8^3 * 0.8 ~ 41% at the default probs) still
+    # execute all 9 banded passes. Same batch-subset semantics as the
+    # Gibbs/spike FFT augs (per-sample probability = count/B per step;
+    # subset members draw their params CONDITIONED on being active, so the
+    # joint (angles, zoom) distribution per augmented sample is exact) and
+    # per-step work is constant. Disable for the independent-Bernoulli
+    # per-sample gating semantics.
+    spatial_subset: bool = True
 
 
 # the composed rotation (shared with the shear chain's oracle tests)
@@ -163,6 +174,106 @@ def _subset_count(prob: float, batch: int) -> int:
     return int(round(prob * batch))
 
 
+def _spatial_pattern_table(cfg: AugmentConfig, n_rot: int):
+    """Static table of ACTIVE (rot-axis mask, zoom) patterns and the CDF of
+    their probabilities conditioned on at-least-one-active.
+
+    Bit k (< n_rot) = rotate axis k; bit n_rot = zoom. Computed at trace
+    time from the static config probabilities (numpy constants)."""
+    import numpy as np
+
+    pr, pz = cfg.rotate_prob, cfg.zoom_prob
+    pats, probs = [], []
+    for bits in range(1, 2 ** (n_rot + 1)):
+        rot_bits = [(bits >> a) & 1 for a in range(n_rot)]
+        z_bit = (bits >> n_rot) & 1
+        p = float(np.prod([pr if b else 1 - pr for b in rot_bits]))
+        p *= pz if z_bit else 1 - pz
+        pats.append(rot_bits + [z_bit])
+        probs.append(p)
+    probs = np.asarray(probs, np.float64)
+    cdf = np.cumsum(probs / probs.sum())[:-1]
+    return (np.asarray(pats, np.float32), cdf.astype(np.float32))
+
+
+def _draw_active_spatial_params(key: jax.Array, cfg: AugmentConfig, nd: int):
+    """(angles, zoom) | at-least-one-active: inverse-CDF over the active
+    pattern table, then the usual uniform magnitudes for the active bits."""
+    n_rot = 3 if nd == 3 else 1
+    pats, cdf = _spatial_pattern_table(cfg, n_rot)
+    k_pat, k_ang, k_zoom = jax.random.split(key, 3)
+    u = jax.random.uniform(k_pat, ())
+    idx = jnp.sum(u >= jnp.asarray(cdf)).astype(jnp.int32)
+    bits = jnp.asarray(pats)[idx]  # (n_rot + 1,)
+    angles = bits[:n_rot] * jax.random.uniform(
+        k_ang, (n_rot,), minval=-cfg.rotate_range, maxval=cfg.rotate_range
+    )
+    zoom = jax.random.uniform(
+        k_zoom, (), minval=cfg.zoom_range[0], maxval=cfg.zoom_range[1]
+    )
+    zoom = jnp.where(bits[n_rot] > 0, zoom, 1.0)
+    return angles, zoom
+
+
+def _crop_batch(x: jax.Array, out_shape) -> jax.Array:
+    """Center crop the spatial dims of a (B, C, *spatial) tensor."""
+    nd = x.ndim - 2
+    sl = (slice(None), slice(None)) + tuple(
+        slice((x.shape[2 + a] - out_shape[a]) // 2,
+              (x.shape[2 + a] - out_shape[a]) // 2 + out_shape[a])
+        for a in range(nd)
+    )
+    return x[sl]
+
+
+def _apply_subset_spatial(images, labels, key, cfg: AugmentConfig, out_shape):
+    """Rotation+zoom on an exact-count random subset of the batch.
+
+    ``images`` (B, C, *margin), ``labels`` (B, 1, *margin) channel-first.
+    A random permutation picks WHICH count = round(P[any spatial] * B)
+    samples run the 9-pass chain (with params drawn conditioned on being
+    active); the rest take the static center crop. Per-sample probability
+    and the per-augmented-sample (angles, zoom) joint match the
+    independent-Bernoulli gating exactly up to count rounding — the same
+    exact-count semantics as the Gibbs/spike batch subsets."""
+    nd = images.ndim - 2
+    n_rot = 3 if nd == 3 else 1
+    batch = images.shape[0]
+    p_any = 1.0 - (1.0 - cfg.rotate_prob) ** n_rot * (1.0 - cfg.zoom_prob)
+    count = _subset_count(p_any, batch)
+    if count <= 0:
+        return _crop_batch(images, out_shape), _crop_batch(labels, out_shape)
+
+    k_perm, k_par = jax.random.split(key)
+    perm = jax.random.permutation(k_perm, batch)
+    im_s = jnp.take(images, perm, axis=0)
+    lb_s = jnp.take(labels, perm, axis=0)
+    zoom_min = min(cfg.zoom_range[0], 1.0)
+
+    def chain(k, img, lbl):
+        angles, zoom = _draw_active_spatial_params(k, cfg, nd)
+        img = rotate_zoom_shear(
+            img, angles, zoom, order=1, out_shape=out_shape,
+            angle_max=cfg.rotate_range, zoom_min=zoom_min,
+            bf16=cfg.interp_bf16,
+        )
+        if cfg.label_affine_gather:
+            lbl = rotate_zoom_nn_gather(lbl, angles, zoom, out_shape)
+        else:
+            lbl = rotate_zoom_shear(
+                lbl, angles, zoom, order=0, out_shape=out_shape,
+                angle_max=cfg.rotate_range, zoom_min=zoom_min,
+            )
+        return img, lbl
+
+    sub_keys = jax.random.split(k_par, count)
+    aug_i, aug_l = jax.vmap(chain)(sub_keys, im_s[:count], lb_s[:count])
+    im_s = jnp.concatenate([aug_i, _crop_batch(im_s[count:], out_shape)], 0)
+    lb_s = jnp.concatenate([aug_l, _crop_batch(lb_s[count:], out_shape)], 0)
+    inv = jnp.argsort(perm)  # unpermute: image/label pairing preserved
+    return jnp.take(im_s, inv, axis=0), jnp.take(lb_s, inv, axis=0)
+
+
 def _apply_subset_fft_aug(images, key, count, fn):
     """Apply an expensive aug to a random fixed-size subset of the batch.
 
@@ -198,7 +309,7 @@ def augment_batch(
     Returns (B, *out_shape, C) images and (B, *out_shape) labels.
     """
     batch = images.shape[0]
-    key, k_gibbs, k_spike = jax.random.split(key, 3)
+    key, k_gibbs, k_spike, k_spatial = jax.random.split(key, 4)
     keys = jax.random.split(key, batch)
     imgs_cf = jnp.moveaxis(images, -1, 1)  # (B, C, *spatial)
     # keep a compact integer wire dtype (uint8 labels) end-to-end: the NN
@@ -208,7 +319,19 @@ def augment_batch(
     if not jnp.issubdtype(lbls_cf.dtype, jnp.integer):
         lbls_cf = lbls_cf.astype(jnp.int32)
 
-    aug = jax.vmap(lambda i, l, k: _augment_one(i, l, k, cfg, tuple(out_shape)))
+    sub_cfg = cfg
+    if cfg.spatial and cfg.spatial_subset and batch > 1:
+        # exact-count batch-subset rotation+zoom (see AugmentConfig); the
+        # per-sample pass below then skips its own spatial section (its
+        # center crop is a no-op on the already-cropped tensors)
+        imgs_cf, lbls_cf = _apply_subset_spatial(
+            imgs_cf, lbls_cf, k_spatial, cfg, tuple(out_shape)
+        )
+        sub_cfg = dataclasses.replace(cfg, spatial=False)
+
+    aug = jax.vmap(
+        lambda i, l, k: _augment_one(i, l, k, sub_cfg, tuple(out_shape))
+    )
     out_img, out_lbl = aug(imgs_cf, lbls_cf, keys)
 
     if cfg.intensity:

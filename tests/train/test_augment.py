@@ -69,6 +69,45 @@ def test_deterministic_per_key():
     assert not np.array_equal(np.asarray(a1[0]), np.asarray(b[0]))
 
 
+def test_spatial_subset_exact_count():
+    """The exact-count subset path augments exactly round(P[any]*B) samples
+    (the rest are bit-identical to the static center crop)."""
+    img, lbl = _batch(b=10)
+    base = AugmentConfig(spatial=False, intensity=False, flip_prob=0.0)
+    cfg = AugmentConfig(spatial=True, intensity=False, flip_prob=0.0)
+    crop_i, _ = augment_batch(img, lbl, jax.random.key(0), base, (8, 8, 8))
+    out_i, _ = augment_batch(img, lbl, jax.random.key(5), cfg, (8, 8, 8))
+    diff = [
+        not np.array_equal(np.asarray(out_i[i]), np.asarray(crop_i[i]))
+        for i in range(10)
+    ]
+    expected = round((1 - 0.8**3 * 0.8) * 10)  # = 6 at the default probs
+    assert sum(diff) == expected, diff
+
+
+def test_spatial_subset_zero_prob_is_pure_crop():
+    img, lbl = _batch(b=4)
+    base = AugmentConfig(spatial=False, intensity=False, flip_prob=0.0)
+    cfg = AugmentConfig(spatial=True, intensity=False, flip_prob=0.0,
+                        rotate_prob=0.0, zoom_prob=0.0)
+    a = augment_batch(img, lbl, jax.random.key(1), base, (8, 8, 8))
+    b = augment_batch(img, lbl, jax.random.key(1), cfg, (8, 8, 8))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_spatial_subset_off_keeps_bernoulli_path():
+    """spatial_subset=False restores the independent per-sample gating."""
+    img, lbl = _batch(b=4)
+    cfg = AugmentConfig(spatial=True, intensity=False, flip_prob=0.0,
+                        rotate_prob=1.0, zoom_prob=1.0, spatial_subset=False)
+    out_img, out_lbl = augment_batch(img, lbl, jax.random.key(2), cfg, (8, 8, 8))
+    assert out_img.shape == (4, 8, 8, 8, 1)
+    assert set(np.unique(np.asarray(out_lbl))) <= {0, 1, 2}
+    a2 = augment_batch(img, lbl, jax.random.key(2), cfg, (8, 8, 8))
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(a2[0]))
+
+
 def test_flip_only_is_involution_consistent():
     img, lbl = _batch()
     cfg = AugmentConfig(spatial=False, intensity=False, flip_prob=1.0)
