@@ -141,6 +141,16 @@ def augment_flops(
         rest = math.prod(shape) // na  # includes the b axis
         per_sample += 2.0 * m * na * rest  # (NB, M, NA) einsum, C folded in rest
         shape[a] = m
+    # the exact-count spatial subset runs the chain on round(P[any]*B)
+    # samples per step (augment.py::_apply_subset_spatial, the default) —
+    # the rest take a zero-FLOP center crop; count only the chained samples
+    from ..train.augment import AugmentConfig
+
+    cfg = AugmentConfig()
+    if cfg.spatial_subset:
+        n_rot = nd if nd == 3 else 1
+        p_any = 1.0 - (1.0 - cfg.rotate_prob) ** n_rot * (1.0 - cfg.zoom_prob)
+        batch = round(p_any * batch)
     # image chain (C channels) + label chain (1 channel, same shapes)
     return per_sample * batch * (image_channels + 1)
 

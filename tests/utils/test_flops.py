@@ -43,10 +43,16 @@ def test_flagship_step_structure():
     assert 1.2e12 < f["model_fwd"] < 1.6e12
 
 
-def test_augment_flops_scales_with_batch_and_margin():
+def test_augment_flops_counts_spatial_subset():
+    """The count credits only the round(P[any]*B) chained samples (the
+    default exact-count subset gating), so batch scaling follows the
+    subset-count rounding, not raw B."""
+    p_any = 1.0 - 0.8**3 * 0.8  # default probs, 3D
     base = augment_flops(8, (144, 144, 144), (96, 96, 96))
-    assert math.isclose(augment_flops(16, (144, 144, 144), (96, 96, 96)),
-                        2 * base, rel_tol=1e-12)
+    b16 = augment_flops(16, (144, 144, 144), (96, 96, 96))
+    assert math.isclose(
+        b16 / base, round(p_any * 16) / round(p_any * 8), rel_tol=1e-12
+    )
     assert augment_flops(8, (160, 160, 160), (96, 96, 96)) > base
 
 
