@@ -44,7 +44,6 @@ Run: python exp/fused_shear_pallas.py [BATCH [ITERS]]
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
