@@ -72,6 +72,10 @@ def run(batch: int) -> tuple:
             blocks_down=(1, 2, 2, 4),
             blocks_up=(1, 1, 1),
         )
+    elif arch == "unetr":
+        from segmantic_tpu.models.unetr import UNETR
+
+        model = UNETR(in_channels=1, out_channels=num_classes)
     else:
         model = UNet(
             spatial_dims=3,
@@ -206,14 +210,19 @@ def run(batch: int) -> tuple:
 def main() -> None:
     last_err = None
     batches = (128, 96, 64)
+    if os.environ.get("SEGMANTIC_BENCH_ARCH", "unet").lower() != "unet":
+        batches = (128, 96, 64, 32, 16)  # non-flagship archs can be heavier
     for batch in batches:
         try:
             vox_per_sec_per_chip, mode, per_mode, mfu = run(batch)
             break
-        except Exception as e:  # OOM -> retry smaller; match the XLA status
-            # name only (a generic substring like 'memory' would swallow
-            # unrelated failures and silently degrade the reported batch)
-            if "RESOURCE_EXHAUSTED" not in str(e):
+        except Exception as e:  # OOM -> retry smaller; match the XLA OOM
+            # wordings only (a generic substring like 'memory' would
+            # swallow unrelated failures and silently degrade the batch):
+            # RESOURCE_EXHAUSTED (runtime) / "Ran out of memory" (the
+            # AOT compile-time HBM error through the tunnel)
+            if ("RESOURCE_EXHAUSTED" not in str(e)
+                    and "Ran out of memory" not in str(e)):
                 raise
             print(f"batch {batch} did not fit, retrying smaller: "
                   f"{str(e).splitlines()[0][:120]}", file=sys.stderr)

@@ -48,7 +48,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--cases", type=int, default=8)
-    ap.add_argument("--arch", default="unet", choices=["unet", "segresnet"])
+    ap.add_argument("--arch", default="unet",
+                    choices=["unet", "segresnet", "unetr"])
     args = ap.parse_args()
 
     from segmantic_tpu.core.volume import Volume, affine_from_spacing_origin
@@ -83,9 +84,17 @@ def main():
             augment_spatial=True,
             augment_intensity=True,
             optimizer={"optimizer": "Adam", "lr": 1e-3},
-            val_roi_size=(64, 64, 64),
+            # UNETR's pos embedding ties the forward to the training patch
+            # size, so its val windows must be roi == spatial_size
+            val_roi_size=(32,) * 3 if args.arch == "unetr" else (64,) * 3,
             seed=0,
             arch=args.arch,
+            arch_params=(
+                # compact ViT for the 32^3 patch (grid 2^3 = 8 tokens)
+                {"hidden_size": 256, "num_layers": 8, "num_heads": 8,
+                 "mlp_dim": 1024, "feature_size": 16}
+                if args.arch == "unetr" else {}
+            ),
         )
         print(f"RESULT arch={args.arch} "
               f"best_val_dice={result.best_val_dice:.4f} "

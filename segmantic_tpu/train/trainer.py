@@ -128,10 +128,14 @@ class SegmentationModel:
         seed: int = 0,
     ) -> "SegmentationModel":
         """``arch`` selects the architecture: ``unet`` (the reference's
-        topology, configured by channels/strides/num_res_units/norm/act) or
+        topology, configured by channels/strides/num_res_units/norm/act),
         ``segresnet`` (configured by ``arch_params``:
         init_filters/blocks_down/blocks_up/norm/act — canonical GroupNorm +
-        ReLU defaults; the UNet-oriented top-level keys do not apply)."""
+        ReLU defaults), or ``unetr`` (ViT encoder + deconv decoder;
+        ``arch_params``: hidden_size/num_layers/num_heads/mlp_dim/
+        feature_size/patch_size/norm — MONAI UNETR defaults; spatial_size
+        must divide patch_size). The UNet-oriented top-level keys do not
+        apply to the other architectures."""
         arch = (arch or "unet").lower()
         ap = dict(arch_params or {})
         hparams = {
@@ -179,11 +183,36 @@ class SegmentationModel:
                 dropout=dropout,
             )
             depth = len(blocks_down) - 1
+        elif arch == "unetr":
+            from ..models.unetr import UNETR
+
+            patch = int(ap.get("patch_size", 16))
+            module = UNETR(
+                spatial_dims=spatial_dims,
+                in_channels=num_channels,
+                out_channels=num_classes,
+                hidden_size=int(ap.get("hidden_size", 768)),
+                num_layers=int(ap.get("num_layers", 12)),
+                num_heads=int(ap.get("num_heads", 12)),
+                mlp_dim=int(ap.get("mlp_dim", 3072)),
+                feature_size=int(ap.get("feature_size", 16)),
+                patch_size=patch,
+                norm=ap.get("norm", "INSTANCE"),
+            )
+            depth = patch.bit_length() - 1  # probe needs % patch == 0
         else:
             raise ValueError(f"unsupported arch {arch!r}")
-        probe_shape = (1,) + (max(16, 2 ** depth),) * spatial_dims + (
-            num_channels,
-        )
+        if arch == "unetr":
+            # the ViT positional embedding ties params to the token grid,
+            # so UNETR must init (and run inference windows) at the actual
+            # training patch size
+            if not spatial_size:
+                raise ValueError("arch='unetr' requires spatial_size")
+            probe_shape = (1,) + tuple(spatial_size) + (num_channels,)
+        else:
+            probe_shape = (1,) + (max(16, 2 ** depth),) * spatial_dims + (
+                num_channels,
+            )
         variables = module.init(
             jax.random.key(seed), jnp.zeros(probe_shape, jnp.float32), training=False
         )
