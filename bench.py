@@ -211,7 +211,12 @@ def main() -> None:
     last_err = None
     batches = (128, 96, 64)
     if os.environ.get("SEGMANTIC_BENCH_ARCH", "unet").lower() != "unet":
-        batches = (128, 96, 64, 32, 16)  # non-flagship archs can be heavier
+        # non-flagship archs can be much heavier (UNETR's full-res f=16
+        # buffers pad 8x on the 128-lane minor: a 432 MB bf16[16,96^3,16]
+        # activation stores as 3.38G — batch 8 is its 16 GB HBM ceiling)
+        batches = (128, 96, 64, 32, 16, 8)
+    if os.environ.get("SEGMANTIC_BENCH_BATCH"):  # skip the OOM ladder
+        batches = (int(os.environ["SEGMANTIC_BENCH_BATCH"]),)
     for batch in batches:
         try:
             vox_per_sec_per_chip, mode, per_mode, mfu = run(batch)

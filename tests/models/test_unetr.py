@@ -68,3 +68,23 @@ def test_trainer_create_unetr():
         SegmentationModel.create(
             num_classes=2, spatial_dims=3, arch="unetr", arch_params=TINY,
         )
+
+
+def test_unetr_checkpoint_roundtrip(tmp_path):
+    """save -> load rebuilds the UNETR from hparams (arch + arch_params)
+    and reproduces the forward bit-for-bit."""
+    from segmantic_tpu.train.checkpoint import save_checkpoint
+    from segmantic_tpu.train.trainer import SegmentationModel
+
+    model = SegmentationModel.create(
+        num_classes=2, spatial_dims=3, spatial_size=[32, 32, 32],
+        arch="unetr", arch_params=TINY,
+    )
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 32, 32, 32, 1)), jnp.float32)
+    y0 = np.asarray(model.apply(x))
+    ckpt = tmp_path / "m.ckpt"
+    save_checkpoint(ckpt, model.variables, hparams=model.hparams)
+    loaded = SegmentationModel.load(ckpt)
+    assert loaded.hparams["arch"] == "unetr"
+    np.testing.assert_array_equal(np.asarray(loaded.apply(x)), y0)
