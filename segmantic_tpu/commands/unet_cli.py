@@ -94,8 +94,10 @@ def cross_validate_cmd(config_file: Optional[Path], print_defaults: bool) -> Non
               help="rematerialize the forward in backward to save HBM")
 @click.option("--zero-optimizer/--no-zero-optimizer", default=False,
               help="ZeRO-1: shard optimizer moments over the data axis")
-@click.option("--arch", type=click.Choice(["unet", "segresnet"]),
-              default="unet", help="segmentation architecture")
+@click.option("--arch", type=click.Choice(["unet", "segresnet", "unetr"]),
+              default="unet",
+              help="segmentation architecture (unetr needs spatial_size — "
+                   "configure it via train-config's spatial_size/arch_params)")
 def train_cmd(
     datalist_file: Path,
     tissue_list: Optional[Path],
