@@ -8,6 +8,13 @@ WIN, and it is the kind of TPU-first tuning guidance this repo exists to
 measure. Production train step (fused aug + fwd/bwd + Adam, bf16), both
 variants interleaved in one process at batch 8 x 96^3.
 
+RESULT (TPU v5e, b8 x 96^3, r4): **f16 WINS — f32 is 0.85x** (f16 314.7 ms
+/ 22.5 Mvox/s vs f32 370.8 ms / 19.1 Mvox/s, warm losses matching).
+The 4x denser lanes do NOT buy back the 2x FLOPs/bytes: the 8x lane
+padding is an HBM-CAPACITY problem (it caps batch at 8), not a
+wall-clock one — XLA's conv time tracks logical work here. The MONAI
+default feature_size=16 is also the TPU-right choice.
+
 Run: python exp/unetr_feature_ab.py [BATCH [STEPS]]
 """
 
