@@ -176,34 +176,32 @@ def run(batch: int) -> tuple:
     # auditable utilization: analytic USEFUL FLOPs (model fwd+bwd + the
     # augmentation banded matmuls; redundant/structural-zero work in the
     # phase rewrites is NOT credited) over wall time vs the v5e bf16 peak.
-    # The analytic count is flagship-UNet-specific; other archs skip MFU.
-    mfu = {}
-    if arch == "unet":
-        from segmantic_tpu.utils.flops import (
-            TPU_V5E_BF16_PEAK,
-            flagship_step_flops,
-        )
+    # Per-arch analytic counts live in utils/flops.py (unet/segresnet/unetr).
+    from segmantic_tpu.utils.flops import (
+        TPU_V5E_BF16_PEAK,
+        flagship_step_flops,
+    )
 
-        flops = flagship_step_flops(batch, patch, margin, num_classes)
-        step_time = (
-            voxels_per_step * steps / (per_mode[winner] * n_chips) / steps
-        )
-        mfu = {
-            "step_flops": round(flops["step"] / 1e9, 1),  # GFLOP, fwd+bwd+aug
-            "mfu_pct": round(
-                flops["step"] / step_time / (n_chips * TPU_V5E_BF16_PEAK) * 100,
-                2,
-            ),
-            "mfu_model_pct": round(
-                flops["model_fwd_bwd"]
-                / step_time
-                / (n_chips * TPU_V5E_BF16_PEAK)
-                * 100,
-                2,
-            ),
-        }
-    else:
-        mfu = {"arch": arch}
+    flops = flagship_step_flops(
+        batch, patch, margin, num_classes, arch=arch, aug_cfg=aug_cfg
+    )
+    step_time = best_dt[winner] / steps  # raw winning wall time per step
+    mfu = {
+        "step_flops": round(flops["step"] / 1e9, 1),  # GFLOP, fwd+bwd+aug
+        "mfu_pct": round(
+            flops["step"] / step_time / (n_chips * TPU_V5E_BF16_PEAK) * 100,
+            2,
+        ),
+        "mfu_model_pct": round(
+            flops["model_fwd_bwd"]
+            / step_time
+            / (n_chips * TPU_V5E_BF16_PEAK)
+            * 100,
+            2,
+        ),
+    }
+    if arch != "unet":
+        mfu["arch"] = arch
     return per_mode[winner], winner, per_mode, mfu
 
 

@@ -36,7 +36,23 @@ def main() -> None:
     roi = (96, 96, 96)
     num_classes = 8
 
-    model = UNet(spatial_dims=3, in_channels=1, out_channels=num_classes)
+    # SEGMANTIC_BENCH_ARCH=segresnet|unetr benches the other architectures
+    # through the same production predict path (the executor rewrites are
+    # UNet-gated and fall back to module.apply for these — documented in
+    # BASELINE.md). UNETR windows must run at roi == its init spatial size
+    # (pos embedding ties params to the token grid), which roi 96^3 is.
+    arch = os.environ.get("SEGMANTIC_BENCH_ARCH", "unet").lower()
+    if arch == "segresnet":
+        from segmantic_tpu.models.segresnet import SegResNet
+
+        model = SegResNet(spatial_dims=3, in_channels=1,
+                          out_channels=num_classes, init_filters=8)
+    elif arch == "unetr":
+        from segmantic_tpu.models.unetr import UNETR
+
+        model = UNETR(in_channels=1, out_channels=num_classes)
+    else:
+        model = UNet(spatial_dims=3, in_channels=1, out_channels=num_classes)
     variables = model.init(
         jax.random.key(0), jnp.zeros((1,) + roi + (1,), jnp.bfloat16), training=False
     )
@@ -81,17 +97,16 @@ def main() -> None:
     best_dev = best_of(jnp.asarray(volume))
 
     vols_per_min = 60.0 / best
-    print(
-        json.dumps(
-            {
-                "metric": "sliding_window_vols_per_min_per_chip",
-                "value": round(vols_per_min, 2),
-                "unit": "volumes(256x256x176)/min/chip",
-                "seconds_per_volume": round(best, 3),
-                "device_resident_vols_per_min": round(60.0 / best_dev, 2),
-            }
-        )
-    )
+    result = {
+        "metric": "sliding_window_vols_per_min_per_chip",
+        "value": round(vols_per_min, 2),
+        "unit": "volumes(256x256x176)/min/chip",
+        "seconds_per_volume": round(best, 3),
+        "device_resident_vols_per_min": round(60.0 / best_dev, 2),
+    }
+    if arch != "unet":
+        result["arch"] = arch
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

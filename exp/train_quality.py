@@ -10,6 +10,7 @@ rerun after any augmentation/model change to confirm learning quality.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import tempfile
 from pathlib import Path
@@ -50,6 +51,9 @@ def main():
     ap.add_argument("--cases", type=int, default=8)
     ap.add_argument("--arch", default="unet",
                     choices=["unet", "segresnet", "unetr"])
+    ap.add_argument("--arch-params", default=None,
+                    help="JSON dict merged into arch_params "
+                         "(e.g. '{\"init_filters\": 16}')")
     args = ap.parse_args()
 
     from segmantic_tpu.core.volume import Volume, affine_from_spacing_origin
@@ -89,14 +93,17 @@ def main():
             val_roi_size=(32,) * 3 if args.arch == "unetr" else (64,) * 3,
             seed=0,
             arch=args.arch,
-            arch_params=(
-                # compact ViT for the 32^3 patch (grid 2^3 = 8 tokens)
-                {"hidden_size": 256, "num_layers": 8, "num_heads": 8,
-                 "mlp_dim": 1024, "feature_size": 16}
-                if args.arch == "unetr" else {}
+            arch_params=dict(
+                (
+                    # compact ViT for the 32^3 patch (grid 2^3 = 8 tokens)
+                    {"hidden_size": 256, "num_layers": 8, "num_heads": 8,
+                     "mlp_dim": 1024, "feature_size": 16}
+                    if args.arch == "unetr" else {}
+                ),
+                **(json.loads(args.arch_params) if args.arch_params else {}),
             ),
         )
-        print(f"RESULT arch={args.arch} "
+        print(f"RESULT arch={args.arch} params={args.arch_params} "
               f"best_val_dice={result.best_val_dice:.4f} "
               f"epoch={result.best_val_epoch}")
 

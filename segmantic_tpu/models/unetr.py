@@ -20,33 +20,58 @@ MLP 3072, patch 16, feature_size 16, instance norm):
 TPU-first notes: the ViT body is MXU-dense by construction (token
 matmuls; at 96^3 / patch 16 there are only 216 tokens, so plain softmax
 attention is a handful of small GEMMs — no flash kernel needed). The
-decoder reuses the channel-last conv stack of :mod:`.unet`. The
-phase-space decoder machinery does not apply (``phase_top_ok() ->
-False``: concat skips + instance norm, like SegResNet).
+decoder reuses the channel-last conv stack of :mod:`.unet`.
+
+LANE PACKING (r5, ``SEGMANTIC_UNETR_PACK=on`` default): the two narrow
+spatial regions — full resolution at C=16 (8x lane padding on the
+128-wide minor) and half resolution at C=32 (4x) — run entirely in
+subpixel PHASE space (:mod:`segmantic_tpu.ops.fast_conv`): 2x2x2 spatial
+blocks fold into channels, so every activation in those regions stores
+lane-DENSE (e.g. bf16[B,48^3,128] instead of an 8x-padded
+bf16[B,96^3,16]). The pieces, all exact and differentiable:
+
+- the kernel-2 stride-2 "deconv" is one pointwise matmul onto the phase
+  channels (``subpixel_phase_conv_k2`` — no tap overlap, so no conv at
+  all); skip concat is a phase-major channel concat; the 3^3 convs run
+  as block-space expanded convs (``phase_conv_s1``); instance norm takes
+  its per-(B,C) spatial stats over (spatial, phase) — the identical
+  value set; the 1^3 head is a block-diagonal pointwise matmul; ONE
+  depth-to-space materializes the logits at the very end.
+
+Same parameter tree either way — checkpoints interchange, and
+``tests/models/test_unetr_pack.py`` pins packed == plain for outputs and
+gradients. This removed the r4 HBM-capacity wall (batch 8 on 16 GB, the
+8x-padded 3.38 GB full-res activations) that held UNETR at 22.3M
+voxels/s/chip.
 
 reference context: the upstream framework wraps a single MONAI UNet
 (src/segmantic/seg/monai_unet.py:105-124); this module is a capability
 extension beyond the reference, same trainer/checkpoint/predict machinery.
 
-Measured (r4, TPU v5e): 22.3M labeled voxels/s/chip at batch 8 / 96^3
-(`SEGMANTIC_BENCH_ARCH=unetr`; MONAI defaults) — the full-resolution
-feature_size=16 stages store 8x lane-padded (C=16 on the 128-lane
-minor: a 432 MB bf16[16,96^3,16] activation costs 3.38G HBM), which
-bounds both batch (8 on 16 GB) and throughput; the UNet's phase-space
-rewrites do not transfer to this topology. Quality: **0.9753 best val
-Dice @25 epochs** (`exp/train_quality.py --arch unetr`, compact ViT at
-32^3) — ahead of the UNet's 0.9691 and SegResNet's 0.7901 on the same
-task.
+Measured r4 (TPU v5e, packing OFF): 22.3M labeled voxels/s/chip at
+batch 8 / 96^3. Quality: 0.9753 best val Dice @25 epochs
+(`exp/train_quality.py --arch unetr`) — best of the three architectures.
+r5 packed numbers: see BASELINE.md / exp/unetr_pack_ab.py.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .unet import Norm, _activation
+from ..ops import fast_conv
+from .unet import DispatchConv3D, Norm, _activation
+
+
+def pack_on() -> bool:
+    """Run the narrow-channel spatial regions lane-packed (phase-major)?
+    Exact either way; default on (SEGMANTIC_UNETR_PACK=off disables)."""
+    return os.environ.get("SEGMANTIC_UNETR_PACK", "on").lower() not in (
+        "0", "off", "false",
+    )
 
 
 class TransformerBlock(nn.Module):
@@ -72,35 +97,87 @@ class TransformerBlock(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """norm -> act after a 3^3 conv, twice (the UNETR basic block)."""
+    """norm -> act after a 3^3 conv, twice (the UNETR basic block).
+
+    With ``phase=True`` the input/output are phase-major tensors at half
+    resolution: the convs run block-space (``phase_conv_s1``), the norm
+    reduces over (spatial, phase) per true channel — exact, same params.
+    """
 
     features: int
     norm: str = "INSTANCE"
     act: str = "RELU"
+    phase: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False, norm_axis=None):
         nd = x.ndim - 2
+        g = 2**nd if self.phase else 1
         for i in range(2):
-            x = nn.Conv(self.features, (3,) * nd, dtype=x.dtype,
-                        name=f"conv_{i}")(x)
-            x = Norm(kind=self.norm)(x, training, norm_axis)
+            if self.phase:
+                x = DispatchConv3D(
+                    self.features, (3,) * nd, (1,) * nd, phase=True,
+                    name=f"conv_{i}",
+                )(x, training)
+            else:
+                x = nn.Conv(self.features, (3,) * nd, dtype=x.dtype,
+                            name=f"conv_{i}")(x)
+            x = Norm(kind=self.norm, phase_groups=g)(x, training, norm_axis)
             x = _activation(self.act)(x)
         return x
 
 
-class DeconvBlock(nn.Module):
-    """Stride-2 kernel-2 transposed conv (exact 2x upsample, no overlap)."""
+class _PhaseDeconv(nn.Module):
+    """Phase-space twin of the kernel-2 stride-2 ``nn.ConvTranspose``:
+    same kernel/bias parameters, output stays the phase-major tensor at
+    input resolution (``subpixel_phase_conv_k2``)."""
 
     features: int
 
     @nn.compact
     def __call__(self, x):
         nd = x.ndim - 2
+        kshape = (2,) * nd + (x.shape[-1], self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = fast_conv.subpixel_phase_conv_k2(x, kernel.astype(x.dtype))
+        return y + fast_conv.tile_phase(bias, nd).astype(y.dtype)
+
+
+class DeconvBlock(nn.Module):
+    """Stride-2 kernel-2 transposed conv (exact 2x upsample, no overlap).
+
+    ``phase_out=True`` emits the phase-major tensor at input resolution
+    instead of materializing the (lane-padded) 2x volume."""
+
+    features: int
+    phase_out: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        nd = x.ndim - 2
+        if self.phase_out:
+            return _PhaseDeconv(self.features, name="deconv")(x)
         return nn.ConvTranspose(
             self.features, (2,) * nd, strides=(2,) * nd, dtype=x.dtype,
             name="deconv",
         )(x)
+
+
+class _PhasePointwise(nn.Module):
+    """Phase-space twin of a kernel-1 ``nn.Conv`` head (same params):
+    block-diagonal over phases, one shared (Ci -> Co) matmul."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, p):
+        nd = p.ndim - 2
+        ci = p.shape[-1] // (2**nd)
+        kshape = (1,) * nd + (ci, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return fast_conv.phase_pointwise_conv(p, kernel.astype(p.dtype), bias)
 
 
 class UNETR(nn.Module):
@@ -143,6 +220,8 @@ class UNETR(nn.Module):
         grid = tuple(s // p for s in spatial)
         n_tokens = math.prod(grid)
         f = self.feature_size
+        # spatial % 16 == 0 guarantees the even dims packing needs
+        pack = pack_on()
 
         # --- ViT encoder -------------------------------------------------
         z = nn.Conv(
@@ -172,19 +251,24 @@ class UNETR(nn.Module):
             return t.reshape((t.shape[0],) + grid + (self.hidden_size,))
 
         # --- skip branches ------------------------------------------------
-        enc1 = ConvBlock(f, self.norm, self.act, name="encoder1")(
-            x, training, norm_axis
+        # enc1 (full resolution, C=f): phase-packed when enabled — the
+        # whole branch lives at half resolution with 8x denser lanes
+        enc1 = ConvBlock(f, self.norm, self.act, phase=pack, name="encoder1")(
+            fast_conv.space_to_depth(x) if pack else x, training, norm_axis
         )
-        # z3 -> 1/2 (3 deconvs), z6 -> 1/4 (2), z9 -> 1/8 (1)
-        def pr_up(t, n_up, feats, name):
+
+        # z3 -> 1/2 (3 deconvs), z6 -> 1/4 (2), z9 -> 1/8 (1); with packing
+        # the LAST (half-resolution, C=2f) enc2 step stays phase-major too
+        def pr_up(t, n_up, feats, name, phase_last=False):
             y = grid_view(t)
             for j in range(n_up):
-                y = DeconvBlock(feats, name=f"{name}_up_{j}")(y)
-                y = ConvBlock(feats, self.norm, self.act,
+                ph = phase_last and j == n_up - 1
+                y = DeconvBlock(feats, phase_out=ph, name=f"{name}_up_{j}")(y)
+                y = ConvBlock(feats, self.norm, self.act, phase=ph,
                               name=f"{name}_conv_{j}")(y, training, norm_axis)
             return y
 
-        enc2 = pr_up(taps.get(1, z), 3, f * 2, "encoder2")
+        enc2 = pr_up(taps.get(1, z), 3, f * 2, "encoder2", phase_last=pack)
         enc3 = pr_up(taps.get(2, z), 2, f * 4, "encoder3")
         enc4 = pr_up(taps.get(3, z), 1, f * 8, "encoder4")
 
@@ -193,6 +277,30 @@ class UNETR(nn.Module):
         for feats, skip, name in (
             (f * 8, enc4, "decoder5"),
             (f * 4, enc3, "decoder4"),
+        ):
+            y = DeconvBlock(feats, name=f"{name}_up")(y)
+            y = jnp.concatenate([y, skip], axis=-1)
+            y = ConvBlock(feats, self.norm, self.act, name=f"{name}_conv")(
+                y, training, norm_axis
+            )
+
+        if pack:
+            # decoder3 (1/2 res, C=2f) and decoder2 (full res, C=f) run
+            # phase-major end to end; the only full-resolution
+            # materialization in the whole model is the final logits d2s
+            y = DeconvBlock(f * 2, phase_out=True, name="decoder3_up")(y)
+            y = fast_conv.phase_concat(y, enc2)
+            y = ConvBlock(f * 2, self.norm, self.act, phase=True,
+                          name="decoder3_conv")(y, training, norm_axis)
+            y = fast_conv.depth_to_space(y, f * 2)  # (B, *S/2, 2f), one 4x-padded read
+            y = DeconvBlock(f, phase_out=True, name="decoder2_up")(y)
+            y = fast_conv.phase_concat(y, enc1)
+            y = ConvBlock(f, self.norm, self.act, phase=True,
+                          name="decoder2_conv")(y, training, norm_axis)
+            out = _PhasePointwise(self.out_channels, name="out")(y)
+            return fast_conv.depth_to_space(out, self.out_channels)
+
+        for feats, skip, name in (
             (f * 2, enc2, "decoder3"),
             (f, enc1, "decoder2"),
         ):

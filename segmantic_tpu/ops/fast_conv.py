@@ -55,6 +55,9 @@ __all__ = [
     "s2d_conv_s1",
     "subpixel_conv_transpose",
     "subpixel_phase_conv",
+    "subpixel_phase_conv_k2",
+    "phase_pointwise_conv",
+    "phase_concat",
     "phase_conv_s1",
     "phase_conv_s1_k2",
     "rephase_half_shift",
@@ -236,6 +239,58 @@ def subpixel_phase_conv(x: jax.Array, w: jax.Array) -> jax.Array:
     return jax.lax.conv_general_dilated(
         x, wsub.astype(x.dtype), window_strides=(1,) * nd,
         padding=((1, 0),) * nd, dimension_numbers=_dn(nd))
+
+
+def subpixel_phase_conv_k2(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Stride-2 KERNEL-2 SAME conv_transpose (the exact-2x "deconv" of
+    UNETR/SegResNet-style decoders — no tap overlap) as a POINTWISE phase
+    conv: returns the phase tensor (B, *S, 2^nd * Co) at input resolution
+    whose :func:`depth_to_space` is the ``lax.conv_transpose`` output.
+
+    Derivation (measured against lax, test-pinned): for k=2, s=2, SAME,
+    ``y[2d + p] = w[1 - p] · x[d]`` per axis — each output phase sees
+    exactly one tap, so the whole upsample is one dense (Ci -> 2^nd*Co)
+    matmul with the spatially REVERSED kernel. This is what lets UNETR's
+    full-resolution feature_size=16 stages stay lane-packed: the deconv
+    output never materializes at 8x-padded full resolution.
+
+    x: (B, *S, Ci); w: (*2^nd, Ci, Co).
+    """
+    nd = x.ndim - 2
+    ci, co = w.shape[-2], w.shape[-1]
+    wr = w[(slice(None, None, -1),) * nd]  # tap 1-p feeds phase p
+    perm = (nd,) + tuple(range(nd)) + (nd + 1,)
+    wp = jnp.transpose(wr, perm).reshape(ci, (2**nd) * co)
+    return jnp.einsum("...i,io->...o", x, wp.astype(x.dtype))
+
+
+def phase_pointwise_conv(p: jax.Array, w: jax.Array,
+                         bias: jax.Array | None = None) -> jax.Array:
+    """Kernel-1 conv applied IN phase space: block-diagonal over phases
+    (every output phase-channel (ph, o) reads only input (ph, i)), so it
+    is one shared (Ci -> Co) matmul on the (…, 2^nd, Ci) view. Exact."""
+    nd = p.ndim - 2
+    g = 2**nd
+    ci, co = w.shape[-2], w.shape[-1]
+    y = p.reshape(p.shape[:-1] + (g, ci))
+    y = jnp.einsum("...gi,io->...go", y, w.reshape(ci, co).astype(p.dtype))
+    y = y.reshape(p.shape[:-1] + (g * co,))
+    if bias is not None:
+        y = y + tile_phase(bias, nd).astype(y.dtype)
+    return y
+
+
+def phase_concat(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Channel-concat two phase-major tensors so the result is the
+    phase-major tensor of the full-resolution channel concat (reshape to
+    (…, 2^nd, C), concat on the true-channel axis, collapse back)."""
+    nd = a.ndim - 2
+    g = 2**nd
+    ca, cb = a.shape[-1] // g, b.shape[-1] // g
+    av = a.reshape(a.shape[:-1] + (g, ca))
+    bv = b.reshape(b.shape[:-1] + (g, cb))
+    y = jnp.concatenate([av, bv], axis=-1)
+    return y.reshape(a.shape[:-1] + (g * (ca + cb),))
 
 
 def subpixel_conv_transpose(x: jax.Array, w: jax.Array,
@@ -469,7 +524,12 @@ def phase_conv_s1(p: jax.Array, w: jax.Array) -> jax.Array:
     mode = _phase_gemm_mode()
     if mode == "xdx" and nd == 3:
         return _phase_conv_xdx(p, w)
-    if mode != "off" and nd == 3 and jax.default_backend() == "tpu":
+    if (mode != "off" and nd == 3 and jax.default_backend() == "tpu"
+            and w.shape[-2] == w.shape[-1]):
+        # the implicit-GEMM kernels operate on square (L, L) expanded
+        # weights — ci == co only (always true for the UNet phase stages;
+        # UNETR's packed concat/projection convs are ci != co and take the
+        # exact XLA expanded-conv path below)
         from . import phase_gemm
 
         if phase_gemm.supported(p.shape, p.dtype):

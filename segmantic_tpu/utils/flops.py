@@ -69,7 +69,9 @@ def unet_fwd_flops(
     # encoder
     c_prev = in_channels
     skip_shapes = []  # (shape, channels) after each encoder level
+    level_in_shapes = []  # shape each level CONSUMED (the decoder's target)
     for c, s in zip(channels[:-1], strides):
+        level_in_shapes.append(shape)
         out_shape = down(shape, s)
         if num_res_units > 0:
             total += _conv_flops(vox(out_shape), k, nd, c_prev, c)  # strided
@@ -95,13 +97,15 @@ def unet_fwd_flops(
         total += _conv_flops(vox(shape), k, nd, c_prev, c)
     c_prev = c
 
-    # decoder (deepest first); level-0 maps straight to out_channels
+    # decoder (deepest first); level-0 maps straight to out_channels.
+    # Each stage upsamples back to the shape its encoder level consumed
+    # (the flax module's conv_transpose SAME output) — NOT d*s, which
+    # disagrees under the encoder's ceil division for non-divisible sizes.
     for level in reversed(range(len(strides))):
         skip_shape, skip_c = skip_shapes[level]
         cat_c = c_prev + skip_c
         out_feats = out_channels if level == 0 else channels[level - 1]
-        s = strides[level]
-        up_shape = tuple(d * s for d in shape)
+        up_shape = level_in_shapes[level]
         # transposed conv: every input voxel feeds k^nd outputs
         total += _conv_flops(vox(shape), up_kernel_size, nd, cat_c, out_feats)
         if num_res_units > 0:  # one res subunit, identity shortcut
@@ -117,6 +121,7 @@ def augment_flops(
     image_channels: int = 1,
     angle_max: float = 0.4,
     zoom_min: float = 0.8,
+    aug_cfg=None,
 ) -> float:
     """Banded shear/scale matmul FLOPs of the fused spatial augmentation.
 
@@ -124,6 +129,10 @@ def augment_flops(
     ``train.augment`` runs — the order-1 image chain plus the order-0
     one-hot label chain (same einsum shapes) — using the real per-pass
     extent schedule. Intensity/flip work is pointwise and excluded.
+
+    ``aug_cfg`` is the ``AugmentConfig`` the step actually runs (its
+    subset gating / probabilities drive the chained-sample count); when
+    omitted the defaults are used.
     """
     from ..ops.shear_resample import _extent_schedule, _folded_pass_list
 
@@ -144,15 +153,126 @@ def augment_flops(
     # the exact-count spatial subset runs the chain on round(P[any]*B)
     # samples per step (augment.py::_apply_subset_spatial, the default) —
     # the rest take a zero-FLOP center crop; count only the chained samples
-    from ..train.augment import AugmentConfig
+    if aug_cfg is None:
+        from ..train.augment import AugmentConfig
 
-    cfg = AugmentConfig()
-    if cfg.spatial_subset:
+        aug_cfg = AugmentConfig()
+    if aug_cfg.spatial_subset:
         n_rot = nd if nd == 3 else 1
-        p_any = 1.0 - (1.0 - cfg.rotate_prob) ** n_rot * (1.0 - cfg.zoom_prob)
+        p_any = 1.0 - (
+            (1.0 - aug_cfg.rotate_prob) ** n_rot * (1.0 - aug_cfg.zoom_prob)
+        )
         batch = round(p_any * batch)
     # image chain (C channels) + label chain (1 channel, same shapes)
     return per_sample * batch * (image_channels + 1)
+
+
+def segresnet_fwd_flops(
+    patch: Sequence[int],
+    in_channels: int,
+    out_channels: int,
+    init_filters: int = 8,
+    blocks_down: Sequence[int] = (1, 2, 2, 4),
+    blocks_up: Sequence[int] = (1, 1, 1),
+) -> float:
+    """Forward conv FLOPs of one sample through ``models.segresnet``.
+
+    Walks the flax module exactly: conv_init, per-stage stride-2 down
+    convs + pre-activation residual blocks, decoder 1^nd channel-halving
+    convs + kernel-3 stride-2 transposed-conv upsamples + residual
+    blocks, and the 1^nd head. Norm/act are pointwise and excluded (same
+    convention as :func:`unet_fwd_flops`)."""
+    nd = len(patch)
+    f = init_filters
+    total = 0.0
+
+    def vox(level: int) -> int:
+        return int(math.prod(-(-d // (2**level)) for d in patch))
+
+    total += _conv_flops(vox(0), 3, nd, in_channels, f)  # conv_init
+    for i, n_blocks in enumerate(blocks_down):
+        feats = f * 2**i
+        if i > 0:
+            total += _conv_flops(vox(i), 3, nd, feats // 2, feats)  # down_i
+        total += n_blocks * 2 * _conv_flops(vox(i), 3, nd, feats, feats)
+    for j, n_blocks in enumerate(blocks_up):
+        i = len(blocks_down) - 1 - j  # stage being left
+        feats = f * 2 ** (i - 1)
+        total += _conv_flops(vox(i), 1, nd, feats * 2, feats)  # up_conv_j
+        # k3 s2 transposed conv: every input voxel feeds 3^nd outputs
+        total += _conv_flops(vox(i), 3, nd, feats, feats)  # up_j
+        total += n_blocks * 2 * _conv_flops(vox(i - 1), 3, nd, feats, feats)
+    total += _conv_flops(vox(0), 1, nd, f, out_channels)  # conv_final
+    return total
+
+
+def unetr_fwd_flops(
+    patch: Sequence[int],
+    in_channels: int,
+    out_channels: int,
+    hidden_size: int = 768,
+    num_layers: int = 12,
+    mlp_dim: int = 3072,
+    feature_size: int = 16,
+    patch_size: int = 16,
+) -> float:
+    """Forward FLOPs of one sample through ``models.unetr`` — the ViT GEMMs
+    (qkv/attention/out-projection/MLP) plus every conv/deconv of the skip
+    branches, decoder, and head. The lane-packed phase rewrites are
+    FLOP-preserving except the block-space 3^3 convs' structural zeros,
+    which (as everywhere in this module) are NOT credited."""
+    nd = len(patch)
+    H = hidden_size
+    f = feature_size
+    grid = tuple(d // patch_size for d in patch)
+    T = int(math.prod(grid))
+    total = 0.0
+
+    def vox(level: int) -> int:  # level = log2 downsampling from full res
+        return int(math.prod(d // (2**level) for d in patch))
+
+    # patch embedding: k16 s16 conv == one (T, p^nd*Cin) @ (., H) GEMM
+    total += 2.0 * T * (patch_size**nd) * in_channels * H
+    # transformer blocks: qkv (3), attention logits, attn @ V, out
+    # projection, MLP in/out — all per layer
+    per_layer = (
+        4 * 2.0 * T * H * H  # q, k, v, out-proj
+        + 2 * 2.0 * T * T * H  # scores QK^T + scores @ V (summed over heads)
+        + 2 * 2.0 * T * H * mlp_dim  # MLP
+    )
+    total += num_layers * per_layer
+
+    def deconv(level_in: int, ci: int, co: int) -> float:
+        # k2 s2 transposed conv: every input voxel feeds 2^nd outputs
+        return 2.0 * vox(level_in) * (2**nd) * ci * co
+
+    def convblock(level: int, ci: int, co: int) -> float:
+        return (_conv_flops(vox(level), 3, nd, ci, co)
+                + _conv_flops(vox(level), 3, nd, co, co))
+
+    # skip branches: enc1 at full res; enc2/3/4 progressive deconv chains
+    total += convblock(0, in_channels, f)
+    for tap_i, (n_up, feats) in enumerate(((3, 2 * f), (2, 4 * f), (1, 8 * f))):
+        lvl = 4  # 1/16 resolution
+        ci = H
+        for _ in range(n_up):
+            total += deconv(lvl, ci, feats)
+            lvl -= 1
+            total += convblock(lvl, feats, feats)
+            ci = feats
+    # decoder: deconv + concat + convblock, four stages up from 1/16
+    ci = H
+    for lvl_in, feats, skip_c in (
+        (4, 8 * f, 8 * f),
+        (3, 4 * f, 4 * f),
+        (2, 2 * f, 2 * f),
+        (1, f, f),
+    ):
+        total += deconv(lvl_in, ci, feats)
+        total += convblock(lvl_in - 1, feats + skip_c, feats)
+        ci = feats
+    total += _conv_flops(vox(0), 1, nd, f, out_channels)  # head
+    return total
 
 
 def flagship_step_flops(
@@ -163,18 +283,28 @@ def flagship_step_flops(
     channels: Sequence[int] = (16, 32, 64, 128, 256),
     strides: Sequence[int] = (2, 2, 2, 2),
     num_res_units: int = 2,
+    arch: str = "unet",
+    aug_cfg=None,
 ) -> dict:
     """FLOPs of one production train step at the bench configuration.
 
     Returns ``{"model_fwd", "model_fwd_bwd", "augment", "step"}`` —
     ``step = model_fwd_bwd + augment`` is the figure ``bench.py`` divides
-    by wall time for ``mfu_pct``.
+    by wall time for ``mfu_pct``. ``arch`` selects the analytic model
+    count (unet / segresnet / unetr at their bench configurations);
+    ``aug_cfg`` is the AugmentConfig the bench step actually runs.
     """
-    fwd = batch * unet_fwd_flops(
-        patch, 1, num_classes, channels, strides, num_res_units
-    )
+    if arch == "segresnet":
+        per_sample = segresnet_fwd_flops(patch, 1, num_classes)
+    elif arch == "unetr":
+        per_sample = unetr_fwd_flops(patch, 1, num_classes)
+    else:
+        per_sample = unet_fwd_flops(
+            patch, 1, num_classes, channels, strides, num_res_units
+        )
+    fwd = batch * per_sample
     margin_shape = tuple(p + 2 * margin for p in patch)
-    aug = augment_flops(batch, margin_shape, patch)
+    aug = augment_flops(batch, margin_shape, patch, aug_cfg=aug_cfg)
     return {
         "model_fwd": fwd,
         "model_fwd_bwd": 3.0 * fwd,
