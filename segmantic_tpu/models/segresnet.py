@@ -36,7 +36,9 @@ Perf-machinery applicability (measured r4, TPU v5e):
 - measured: 147.9M labeled voxels/s/chip at batch 128 (the production
   train step via ``SEGMANTIC_BENCH_ARCH=segresnet python bench.py``);
   0.7901 best val Dice @25 epochs (`exp/train_quality.py --arch
-  segresnet`; the flagship UNet reaches 0.9720 on the same task).
+  segresnet`; the flagship UNet scores 0.9691 on the same task with the
+  same r4 subset-aug config — its 0.9720 elsewhere is the r3 pre-subset
+  run, within run noise).
 """
 
 from __future__ import annotations

@@ -337,10 +337,13 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
     optax update; donates params/opt_state to avoid HBM copies.
 
     With a data-parallel ``mesh`` (model axis of 1, data axis > 1) the
-    forward/backward runs under ``shard_map``: each device computes its
-    local-batch loss and gradients (BatchNorm statistics reduce globally
-    via its ``axis_name``), gradients/loss ``pmean`` over 'data', and the
-    replicated optimizer update stays outside. Numerically equivalent to
+    AUGMENTATION and the forward/backward run under ``shard_map``: each
+    device augments its local batch (per-shard RNG stream; the exact-count
+    batch subsets select within the shard, so no batch-axis collective is
+    ever induced) and computes its local-batch loss and gradients
+    (BatchNorm statistics reduce globally via its ``axis_name``),
+    gradients/loss ``pmean`` over 'data', and the replicated optimizer
+    update stays outside. Numerically equivalent to
     the GSPMD-partitioned step, but the per-shard body sees LOCAL shapes,
     which lets the batch-packed Pallas convs route on multi-device meshes
     (a pallas_call inside a GSPMD jit cannot be partitioned). Tensor-
@@ -433,25 +436,7 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
 
     plain_lag = make_lag(False)
 
-    sharded_lag = None
-    if shard_grads:
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        specs = dict(
-            mesh=mesh,
-            in_specs=(P(), P(), P("data"), P("data")),
-            out_specs=(P(), P(), P()),
-        )
-        try:  # jax >= 0.8 names the replication check check_vma
-            sharded_lag = shard_map(make_lag(True), check_vma=False, **specs)
-        except TypeError:
-            sharded_lag = shard_map(make_lag(True), check_rep=False, **specs)
-
-    def step(params, batch_stats, opt_state, image, label, key):
+    def augment_in(image, label, key):
         # wire dtypes may be compact (bf16 image / uint8 label); augment in
         # f32 — EXCEPT when the first augmentation op is the bf16 banded
         # interp anyway: upcasting a bf16 wire image just to re-cast it
@@ -462,15 +447,55 @@ def make_train_step(module: UNet, optimizer, aug_cfg: AugmentConfig, patch_size,
         image, label = augment_batch(image, label, key, aug_cfg, tuple(patch_size))
         if mixed_precision:
             image = image.astype(jnp.bfloat16)
+        return image, label
 
+    sharded_lag = None
+    if shard_grads:
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        inner_lag = make_lag(True)
+
+        def sharded_body(p, bs, image, label, key_data):
+            # Augment INSIDE the dp body, on the shard-local batch with a
+            # per-shard RNG stream: every batch-axis permute/gather in the
+            # augmentation (spatial/Gibbs/spike exact-count subsets) stays
+            # on-shard — no cross-chip all-to-all resharding, and the
+            # subset work splits evenly across shards (count is
+            # round(p * local_B) per shard rather than round(p * B)
+            # globally; the per-sample marginal is identical up to count
+            # rounding). Keys cross shard_map as raw uint32 key data.
+            k = jax.random.wrap_key_data(key_data)
+            k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+            image, label = augment_in(image, label, k)
+            return inner_lag(p, bs, image, label)
+
+        specs = dict(
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P()),
+            out_specs=(P(), P(), P()),
+        )
+        try:  # jax >= 0.8 names the replication check check_vma
+            sharded_lag = shard_map(sharded_body, check_vma=False, **specs)
+        except TypeError:
+            sharded_lag = shard_map(sharded_body, check_rep=False, **specs)
+
+    def step(params, batch_stats, opt_state, image, label, key):
+        if not jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            key = jax.random.wrap_key_data(key)
         # the shard_map body requires batch % data-axis == 0; tiny debug
         # batches (put_batch replicates those) keep the GSPMD step. Static
         # shapes: resolved at trace time, one branch compiles.
         if sharded_lag is not None and image.shape[0] % dp_size == 0:
-            lag = sharded_lag
+            loss, new_bs, grads = sharded_lag(
+                params, batch_stats, image, label, jax.random.key_data(key)
+            )
         else:
-            lag = plain_lag
-        loss, new_bs, grads = lag(params, batch_stats, image, label)
+            image, label = augment_in(image, label, key)
+            loss, new_bs, grads = plain_lag(params, batch_stats, image, label)
         if use_zero:
             grads = jax.tree_util.tree_map(
                 lambda g: jax.lax.with_sharding_constraint(

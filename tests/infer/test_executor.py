@@ -128,3 +128,29 @@ def test_val_forward_uses_executor(monkeypatch):
     monkeypatch.setenv("SEGMANTIC_EVAL_EXECUTOR", "off")
     off = np.asarray(make_val_forward(model, jnp.float32)(variables, x))
     np.testing.assert_allclose(on, off, atol=2e-4, rtol=2e-3)
+
+
+def test_non_unet_archs_fall_back_to_module_apply():
+    """SegResNet / UNETR are not executor-rewritable (documented coverage
+    gap, BASELINE.md): executor_supported must say so and make_val_forward
+    must still produce a correct plain forward for them."""
+    from segmantic_tpu.models.segresnet import SegResNet
+    from segmantic_tpu.models.unetr import UNETR
+    from segmantic_tpu.train.trainer import make_val_forward
+
+    seg = SegResNet(spatial_dims=2, in_channels=1, out_channels=2,
+                    init_filters=4, blocks_down=(1, 1), blocks_up=(1,))
+    assert not executor_supported(seg)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 16, 16, 1)).astype(np.float32)
+    )
+    variables = seg.init(jax.random.key(0), x, training=False)
+    vf = make_val_forward(seg, jnp.float32)
+    got = np.asarray(vf(variables, x))
+    ref = np.asarray(seg.apply(variables, x, training=False))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    assert got.shape == (1, 16, 16, 2)
+
+    unetr = UNETR(in_channels=1, out_channels=2, hidden_size=32,
+                  num_layers=1, num_heads=2, mlp_dim=64, feature_size=4)
+    assert not executor_supported(unetr)

@@ -92,3 +92,21 @@ def test_big_endian_read(tmp_path):
     p.write_bytes(payload)
     out, _ = read_nifti(p)
     np.testing.assert_array_equal(out, data.astype("<i2"))
+
+
+def test_gz_write_falls_back_without_native(tmp_path, monkeypatch):
+    """When the native parallel-gzip lib is absent, .nii.gz writes must
+    fall back to stdlib gzip and stay byte-valid / round-trippable."""
+    from segmantic_tpu import native as _native
+
+    def _no_lib():
+        raise ImportError("native library not built (simulated)")
+
+    monkeypatch.setattr(_native, "_load", _no_lib)
+    rng = np.random.default_rng(7)
+    vol = Volume(data=rng.standard_normal((1, 9, 8, 7)).astype(np.float32))
+    p = tmp_path / "fallback.nii.gz"
+    write_volume(p, vol)
+    assert p.read_bytes()[:2] == b"\x1f\x8b"
+    back = read_volume(p)
+    np.testing.assert_array_equal(back.numpy(), vol.numpy())

@@ -88,3 +88,24 @@ def test_unknown_path_404(server):
     except urllib.error.HTTPError as e:
         assert e.code == 404
 
+
+
+def test_empty_post_body_is_400(server):
+    base, _ = server
+    req = urllib.request.Request(f"{base}/v1/segment", data=b"", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "empty body" in json.loads(e.read())["error"]
+
+
+def test_post_unknown_path_is_404(server):
+    base, _ = server
+    req = urllib.request.Request(f"{base}/v1/nope", data=b"x", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
