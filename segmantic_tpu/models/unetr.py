@@ -196,15 +196,23 @@ class UNETR(nn.Module):
     act: str = "RELU"
 
     def phase_top_ok(self) -> bool:
-        """Phase-major decoder/dice machinery is a UNet feature; the
-        trainer consults this duck-typed gate on every architecture."""
-        return False
+        """With lane packing on, the head's pre-depth-to-space tensor IS a
+        phase-major logits tensor in the UNet convention (lane = ph*C + c,
+        ``depth_to_space(out, C)`` == full-res logits), so the trainer's
+        matmul-segmented phase Dice applies — skipping the full-resolution
+        logits materialization and the f32 softmax-normalizer broadcasts
+        that otherwise dominate the step's temp HBM (the b16 packed step
+        compiled at 15.96/16 GB with the plain dice)."""
+        return self.spatial_dims == 3 and pack_on()
 
     @nn.compact
     def __call__(self, x, training: bool = False, norm_axis=None,
                  phase_logits: bool = False):
-        if phase_logits:
-            raise ValueError("UNETR has no phase-logits output")
+        if phase_logits and not pack_on():
+            raise ValueError(
+                "UNETR emits phase logits only with lane packing on "
+                "(SEGMANTIC_UNETR_PACK)"
+            )
         if self.spatial_dims != 3 or x.ndim != 5:
             raise ValueError("UNETR is 3D: expected (N, D, H, W, C) input")
         if self.patch_size != 16:
@@ -298,6 +306,8 @@ class UNETR(nn.Module):
             y = ConvBlock(f, self.norm, self.act, phase=True,
                           name="decoder2_conv")(y, training, norm_axis)
             out = _PhasePointwise(self.out_channels, name="out")(y)
+            if phase_logits:  # phase-major head for the trainer's phase dice
+                return out
             return fast_conv.depth_to_space(out, self.out_channels)
 
         for feats, skip, name in (

@@ -1,5 +1,7 @@
 """UNETR: shapes, trainability, constraints, and trainer integration."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -47,10 +49,16 @@ def test_rejects_bad_inputs():
     with pytest.raises(ValueError, match="patch_size=16"):
         UNETR(patch_size=8, **TINY).init(
             jax.random.key(0), jnp.zeros((1, 32, 32, 32, 1)))
-    with pytest.raises(ValueError, match="phase-logits"):
-        v = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 32, 1)))
-        m.apply(v, jnp.zeros((1, 32, 32, 32, 1)), phase_logits=True)
-    assert m.phase_top_ok() is False
+    # phase logits exist only on the lane-packed path (r5)
+    os.environ["SEGMANTIC_UNETR_PACK"] = "off"
+    try:
+        with pytest.raises(ValueError, match="phase logits"):
+            v = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 32, 1)))
+            m.apply(v, jnp.zeros((1, 32, 32, 32, 1)), phase_logits=True)
+        assert m.phase_top_ok() is False
+    finally:
+        os.environ.pop("SEGMANTIC_UNETR_PACK", None)
+    assert m.phase_top_ok() is True  # packed default emits a phase head
 
 
 def test_trainer_create_unetr():

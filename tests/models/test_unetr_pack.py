@@ -116,3 +116,36 @@ def test_phase_pointwise_conv_matches_conv1():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_phase_logits_head_matches_full_dice(monkeypatch):
+    """Packed UNETR's phase_logits output is the UNet-convention phase
+    tensor: d2s(out) == full logits, and the trainer's phase dice on it
+    equals the plain dice on the full-resolution logits (this is what
+    removes the f32 softmax-broadcast HBM at the full-res head)."""
+    from segmantic_tpu.train.losses import dice_loss_phase
+
+    monkeypatch.setenv("SEGMANTIC_UNETR_PACK", "on")
+    model = _model()
+    assert model.phase_top_ok()
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 32, 1)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, 3, (2, 32, 32, 32)).astype(np.int32))
+    variables = model.init(jax.random.key(0), x, training=False)
+
+    full = model.apply(variables, x, training=False)
+    phase = model.apply(variables, x, training=False, phase_logits=True)
+    np.testing.assert_allclose(
+        np.asarray(fast_conv.depth_to_space(phase, 3)), np.asarray(full),
+        atol=0,
+    )
+    lbl_ph = fast_conv.space_to_depth(label[..., None].astype(jnp.uint8))
+    np.testing.assert_allclose(
+        float(dice_loss_phase(phase, lbl_ph)), float(dice_loss(full, label)),
+        atol=1e-6,
+    )
+
+    monkeypatch.setenv("SEGMANTIC_UNETR_PACK", "off")
+    assert not model.phase_top_ok()
+    with pytest.raises(ValueError):
+        model.apply(variables, x, training=False, phase_logits=True)
