@@ -11,6 +11,16 @@ Phase 2 (ceiling): packed-only ladder upward to find the new HBM ceiling.
 
 Usage: python exp/unetr_pack_ab.py [ab_batch] [ladder batches...]
 Defaults: ab_batch=8, ladder 64 48 32 16.
+
+MEASURED (r5, v5e): b8 off 22.4M vox/s (316.2 ms) vs on 40.1M (176.7 ms)
+= 1.79x, first-step losses bit-identical (0.87931); re-measured with the
+phase-dice head 22.3M vs 39.2M = 1.76x. CAVEAT on the ladder: run it in
+a FRESH process — after the A/B phase, leftover allocator state makes
+b12-b32 report OOM even though b12 fits (compiled stats 12.92G temp +
+1.34G args; a fresh b12 run executes at 36.8M vox/s, 288.7 ms/step —
+slower per voxel than b8, so b8 stays the throughput point: packed UNETR
+is compute-bound, no longer HBM-capacity-bound). b16 needs ~18.5G > the
+~15.75G usable and genuinely does not fit.
 """
 
 from __future__ import annotations

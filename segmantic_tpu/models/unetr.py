@@ -48,10 +48,16 @@ reference context: the upstream framework wraps a single MONAI UNet
 (src/segmantic/seg/monai_unet.py:105-124); this module is a capability
 extension beyond the reference, same trainer/checkpoint/predict machinery.
 
-Measured r4 (TPU v5e, packing OFF): 22.3M labeled voxels/s/chip at
-batch 8 / 96^3. Quality: 0.9753 best val Dice @25 epochs
-(`exp/train_quality.py --arch unetr`) — best of the three architectures.
-r5 packed numbers: see BASELINE.md / exp/unetr_pack_ab.py.
+Measured (TPU v5e, `exp/unetr_pack_ab.py`, interleaved): packing OFF
+22.4M labeled voxels/s/chip at batch 8 / 96^3 (the r4 number) vs ON
+40.1M (316.2 -> 176.7 ms/step, **1.79x**), first-step losses
+bit-identical. With the phase-dice head (``phase_top_ok``) the HBM
+ceiling lifts from the hard b8 wall to b12+ (fresh-process b12 runs at
+36.8M — slower per voxel than b8, so b8 remains the throughput point:
+packed UNETR is compute-bound, no longer capacity-bound). Quality:
+0.9753 best val Dice @25 epochs (`exp/train_quality.py --arch unetr`,
+r4) — best of the three architectures; the packed path is exact, so
+quality carries over (r5 re-run in BASELINE.md).
 """
 
 from __future__ import annotations
