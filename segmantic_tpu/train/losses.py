@@ -10,6 +10,7 @@ included.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -231,7 +232,16 @@ def _dice_phase_fwd(xp, yp, include_background, smooth_nr, smooth_dr):
     n_phase, num_classes, g_mat, lane_cls = _phase_geom(xp, yp)
     n = xp.shape[0]
     spatial = tuple(range(1, xp.ndim - 1))
-    m = jnp.max(xp, axis=-1, keepdims=True)
+    # softmax shift granularity (read at trace time). Exactness holds for
+    # ANY shift that is constant within each phase-voxel group; "sample"
+    # reduces to one scalar per sample (tiny broadcast + residual, widens
+    # the underflow window from one 2x..x2 neighborhood to the whole
+    # sample: garbage only if a group's lanes all sit >87 nats below the
+    # sample max). A/B: exp/dice_max_ab.py.
+    if os.environ.get("SEGMANTIC_DICE_MAX", "group") == "sample":
+        m = jnp.max(xp, axis=tuple(range(1, xp.ndim)), keepdims=True)
+    else:
+        m = jnp.max(xp, axis=-1, keepdims=True)
     p = _phase_probs(xp, g_mat, m)
     onehot = jnp.repeat(yp, num_classes, axis=-1) == lane_cls
 

@@ -217,3 +217,29 @@ def test_dice_phase_mm_bf16_bwd_close_to_f32():
     # the comparison includes the logits' own bf16 quantization, so the
     # bound is a few bf16 ulps of the gradient scale
     assert err < 0.06 * scale, (err, scale)
+
+
+def test_dice_phase_mm_sample_shift_exact():
+    """SEGMANTIC_DICE_MAX=sample (one softmax shift scalar per sample)
+    must match the default per-group shift in value and gradient — the
+    shift cancels exactly for any per-group-constant m
+    (losses.py::_dice_phase_fwd; A/B exp/dice_max_ab.py)."""
+    import os
+
+    from segmantic_tpu.train.losses import dice_loss_phase
+
+    rng = np.random.default_rng(17)
+    xp = jnp.asarray(rng.standard_normal((2, 6, 6, 6, 8 * 4)) * 5, jnp.float32)
+    yp = jnp.asarray(rng.integers(0, 4, (2, 6, 6, 6, 8)), jnp.int32)
+    assert os.environ.get("SEGMANTIC_DICE_MAX", "group") == "group"
+    v0, g0 = jax.value_and_grad(lambda a: dice_loss_phase(a, yp))(xp)
+    os.environ["SEGMANTIC_DICE_MAX"] = "sample"
+    try:
+        v1, g1 = jax.value_and_grad(lambda a: dice_loss_phase(a, yp))(xp)
+    finally:
+        del os.environ["SEGMANTIC_DICE_MAX"]
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    scale = float(jnp.max(jnp.abs(g0)))
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), atol=1e-5 * scale
+    )
