@@ -12,6 +12,13 @@ the subtract and a 453 MB -> 384 B residual. Exact softmax either way
 
 Run: python exp/dice_max_ab.py [BATCH [STEPS_PER_ROUND [MODE MODE...]]]
 (default modes: group sample)
+
+MEASURED (r5, v5e, b96, 4 rounds x 6 steps interleaved): group 360.70 ms
+(235.5 Mvox/s) vs sample 359.15 ms (236.5 Mvox/s) = 1.00x, losses
+bit-identical 0.87503. NEGATIVE RESULT: the per-lane-group reduce_max is
+fused into the same read pass as the subtract either way — the ~5 ms the
+HLO cost model attributed to it (ROUND_NOTES r4) is not removable wall
+time. Default stays "group"; see losses.py::_dice_phase_fwd.
 """
 
 from __future__ import annotations

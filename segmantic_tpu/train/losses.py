@@ -237,7 +237,12 @@ def _dice_phase_fwd(xp, yp, include_background, smooth_nr, smooth_dr):
     # reduces to one scalar per sample (tiny broadcast + residual, widens
     # the underflow window from one 2x..x2 neighborhood to the whole
     # sample: garbage only if a group's lanes all sit >87 nats below the
-    # sample max). A/B: exp/dice_max_ab.py.
+    # sample max). MEASURED A WASH at the b96 production step (r5,
+    # exp/dice_max_ab.py: group 360.70 ms vs sample 359.15 ms, 1.00x,
+    # losses bit-identical 0.87503) — XLA fuses the lane-max into the
+    # same pass either way; the HLO-ranked ~5 ms was cost-model
+    # attribution, not removable wall time. Default stays "group"
+    # (tightest underflow window); knob kept for bounded-logit heads.
     if os.environ.get("SEGMANTIC_DICE_MAX", "group") == "sample":
         m = jnp.max(xp, axis=tuple(range(1, xp.ndim)), keepdims=True)
     else:
