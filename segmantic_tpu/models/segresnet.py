@@ -38,7 +38,10 @@ Perf-machinery applicability (measured r4, TPU v5e):
   0.7901 best val Dice @25 epochs (`exp/train_quality.py --arch
   segresnet`; the flagship UNet scores 0.9691 on the same task with the
   same r4 subset-aug config — its 0.9720 elsewhere is the r3 pre-subset
-  run, within run noise).
+  run, within run noise). The 25-epoch gap is CAPACITY, not a bug
+  (r5, measured): default init_filters 8 climbs to 0.8773 @50ep (best
+  at epoch 44), and the capacity-matched init_filters 16 run reaches
+  0.9244 @25ep — same trainer/evaluator throughout.
 """
 
 from __future__ import annotations
