@@ -207,11 +207,18 @@ def run(batch: int) -> tuple:
 
 def main() -> None:
     last_err = None
+    arch = os.environ.get("SEGMANTIC_BENCH_ARCH", "unet").lower()
     batches = (128, 96, 64)
-    if os.environ.get("SEGMANTIC_BENCH_ARCH", "unet").lower() != "unet":
-        # non-flagship archs can be much heavier (UNETR's full-res f=16
-        # buffers pad 8x on the 128-lane minor: a 432 MB bf16[16,96^3,16]
-        # activation stores as 3.38G — batch 8 is its 16 GB HBM ceiling)
+    if arch == "unetr":
+        # measured HBM ladder (r5, lane packing on): b16 needs ~18.5G >
+        # 15.75G usable; b12 fits but is slower per voxel (36.8M) than b8
+        # (40.1M — compute-bound, exp/unetr_pack_ab.py), so probe 16 in
+        # case the pool's HBM grows, then land on the measured optimum 8.
+        # The generic 128..32 rungs can never fit (the ViT + f=16 decoder
+        # at b32 wants >4x the chip) and each failed AOT compile of the
+        # 12-layer graph costs minutes through the tunnel.
+        batches = (16, 8)
+    elif arch != "unet":
         batches = (128, 96, 64, 32, 16, 8)
     if os.environ.get("SEGMANTIC_BENCH_BATCH"):  # skip the OOM ladder
         batches = (int(os.environ["SEGMANTIC_BENCH_BATCH"]),)
