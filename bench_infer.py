@@ -78,13 +78,13 @@ def main() -> None:
     )
     float(jnp.sum(out))
 
-    def best_of(vol, n=5):
+    def best_of(vol, n=5, **extra):
         best = float("inf")
         for _ in range(n):
             t0 = time.perf_counter()
             out = sliding_window_inference(
                 vol, roi, 16, predictor, overlap=0.25, num_classes=num_classes,
-                **(wire if isinstance(vol, np.ndarray) else {})
+                **(wire if isinstance(vol, np.ndarray) else {}), **extra
             )
             float(jnp.sum(out))  # host-transfer fence (tunnel rule)
             best = min(best, time.perf_counter() - t0)
@@ -94,7 +94,17 @@ def main() -> None:
     # device-resident variant: volume pre-staged, isolates compute from the
     # host->device link (the tunnel here runs ~45 MB/volume at fluctuating
     # bandwidth; PCIe-local hardware uploads the same volume in ~ms)
-    best_dev = best_of(jnp.asarray(volume))
+    dev_extra = {}
+    try:
+        best_dev = best_of(jnp.asarray(volume))
+    except Exception:
+        # the scanned runner emits ONE program over all full chunks; for deep
+        # models (UNETR: 12 transformer layers) its serialized HLO can exceed
+        # the tunnel's remote-compile request limit (HTTP 413). Fall back to
+        # the per-chunk jit — the same predictor program the pipelined
+        # end-to-end path runs — and record that the scan was off.
+        dev_extra = {"device_resident_scan": False}
+        best_dev = best_of(jnp.asarray(volume), scan_chunks=False)
 
     vols_per_min = 60.0 / best
     result = {
@@ -103,6 +113,7 @@ def main() -> None:
         "unit": "volumes(256x256x176)/min/chip",
         "seconds_per_volume": round(best, 3),
         "device_resident_vols_per_min": round(60.0 / best_dev, 2),
+        **dev_extra,
     }
     if arch != "unet":
         result["arch"] = arch
